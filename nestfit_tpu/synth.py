@@ -1,0 +1,184 @@
+"""Synthetic spectrum generation.
+
+Rebuild of the reference synthetic-data tooling
+(reference: nestfit/synth_spectra.py).  The reference builds truth
+spectra with pyspeckit's independent ammonia implementation
+(synth_spectra.py:96-126); here the truth comes from the float64 NumPy
+oracle (:mod:`nestfit_tpu.oracle`), which is likewise an independent
+code path from the JAX kernels under test.
+"""
+
+import numpy as np
+
+from nestfit_tpu import oracle
+from nestfit_tpu.models import ammonia
+from nestfit_tpu.models.tables import AMMONIA_TRANSITIONS
+from nestfit_tpu.utils import freq_axis_from_velocity
+
+
+class SyntheticSpectrum:
+    """A noisy synthetic ammonia spectrum with known truth parameters
+    (reference: synth_spectra.py:40-146).
+
+    Parameters are parameter-major packed [voff*n, trot*n, tex*n,
+    ntot*n, sigm*n, orth*n]; ``vsys`` shifts the centroids.
+    """
+
+    model_name = "ammonia"
+
+    def __init__(self, xarr, params, noise=0.03, vsys=0, trans_id=1,
+                 set_seed=False, cold=False, lte=False, rng=None):
+        if rng is None:
+            rng = np.random.default_rng(5 if set_seed else None)
+        self.rng = rng
+        xarr = np.asarray(xarr, dtype=np.float64)
+        if xarr[1] < xarr[0]:
+            xarr = xarr[::-1].copy()
+        self.xarr = xarr
+        self.params = np.asarray(params, dtype=np.float64)
+        self.noise = noise
+        self.vsys = vsys
+        self.trans_id = trans_id
+        self.cold = cold
+        self.lte = lte
+        self.size = xarr.shape[0]
+        self.ncomp = self.params.shape[0] // 6
+        self.components = self.calc_profiles()
+        self.sum_spec = self.components.sum(axis=0)
+        self.noise_spec = self.calc_noise()
+        self.sampled_spec = self.sum_spec + self.noise_spec
+
+    def calc_profiles(self):
+        n = self.ncomp
+        comps = []
+        for i in range(n):
+            p1 = np.array([
+                self.params[i] + self.vsys,
+                self.params[n + i],
+                self.params[2 * n + i],
+                self.params[3 * n + i],
+                self.params[4 * n + i],
+                self.params[5 * n + i],
+            ])
+            comps.append(
+                oracle.amm_predict(
+                    self.xarr, p1, trans_id=self.trans_id,
+                    cold=self.cold, lte=self.lte,
+                )
+            )
+        return np.array(comps)
+
+    def calc_noise(self):
+        return self.rng.normal(scale=self.noise, size=self.size)
+
+    def resample_spectrum(self, noise=None):
+        if noise is not None:
+            self.noise = noise
+        self.noise_spec = self.calc_noise()
+        self.sampled_spec = self.sum_spec + self.noise_spec
+
+    def to_ammspec(self, dtype=None):
+        kw = {} if dtype is None else {"dtype": dtype}
+        return ammonia.make_ammonia_spectrum(
+            self.xarr, self.sampled_spec, self.noise, trans_id=self.trans_id,
+            **kw,
+        )
+
+    @property
+    def mod_spec(self):
+        return oracle.amm_predict(
+            self.xarr, self.params, trans_id=self.trans_id,
+            cold=self.cold, lte=self.lte,
+        )
+
+
+class ParamSampler:
+    """Random 2-component truth parameter draws
+    (reference: synth_spectra.py:165-192)."""
+
+    def __init__(self, vsep=(0.16, 3), trot=(3, 30), tex=(2.8, 12),
+                 ntot=(13, 16), sigm=(0.15, 2), orth=(0, 0), rng=None):
+        self.vsep = vsep
+        self.trot = trot
+        self.tex = tex
+        self.ntot = ntot
+        self.sigm = sigm
+        self.orth = orth
+        self.rng = rng if rng is not None else np.random.default_rng()
+
+    def draw(self):
+        rng = self.rng
+        vsep = rng.uniform(*self.vsep)
+        voff = np.array([0, vsep])
+        return np.concatenate([
+            voff,
+            rng.uniform(*self.trot, size=2),
+            rng.uniform(*self.tex, size=2),
+            rng.uniform(*self.ntot, size=2),
+            rng.uniform(*self.sigm, size=2),
+            rng.uniform(*self.orth, size=2) if self.orth != (0, 0)
+            else np.zeros(2),
+        ])
+
+
+def get_test_spectra(kind=0):
+    """Canonical seeded 2-component (1,1)+(2,2) synthetic pair
+    (reference: synth_spectra.py:243-274)."""
+    vchan = 0.158  # km/s
+    vaxis = np.arange(-30, 30, vchan)
+    xa11 = freq_axis_from_velocity(vaxis, AMMONIA_TRANSITIONS[0].nu)
+    xa22 = freq_axis_from_velocity(vaxis, AMMONIA_TRANSITIONS[1].nu)
+    if kind == 0:
+        params = np.array([
+            -1.0, 1.5,   # voff
+            10.0, 15.0,  # trot
+            4.0, 6.0,    # tex
+            14.5, 15.0,  # ntot
+            0.3, 0.6,    # sigm
+            0.0, 0.0,    # orth
+        ])
+    elif kind == 1:
+        params = np.array([
+            -1.0, 1.0,
+            12.0, 12.0,
+            6.0, 6.0,
+            14.5, 14.6,
+            0.3, 0.3,
+            0.0, 0.0,
+        ])
+    else:
+        raise ValueError(f'Invalid kind "{kind}"')
+    return [
+        SyntheticSpectrum(xarr, params, noise=0.2, trans_id=i + 1,
+                          set_seed=True)
+        for i, xarr in enumerate((xa11, xa22))
+    ]
+
+
+def make_synth_cube_arrays(n_pix=1024, noise=0.1, rng=None, kind=0,
+                           sampler_kwargs=None):
+    """Synthetic 2-transition cube as dense arrays (one row of truth
+    params per pixel) -- the array-level core of the reference's
+    ``make_indep_synth_cube`` FITS writer (synth_spectra.py:195-236).
+
+    Returns
+    -------
+    (xarr11, data11), (xarr22, data22), params : truth params [n_pix, 12]
+    """
+    rng = rng if rng is not None else np.random.default_rng(5)
+    sampler = ParamSampler(rng=rng, **(sampler_kwargs or {}))
+    vchan = 0.158
+    vaxis = np.arange(-30, 30, vchan)
+    xa11 = freq_axis_from_velocity(vaxis, AMMONIA_TRANSITIONS[0].nu)
+    xa22 = freq_axis_from_velocity(vaxis, AMMONIA_TRANSITIONS[1].nu)
+    d11 = np.empty((n_pix, xa11.shape[0]))
+    d22 = np.empty((n_pix, xa22.shape[0]))
+    pcube = np.empty((n_pix, 12))
+    for i in range(n_pix):
+        params = sampler.draw()
+        pcube[i] = params
+        d11[i] = oracle.amm_predict(xa11, params, trans_id=1)
+        d22[i] = oracle.amm_predict(xa22, params, trans_id=2)
+    d11 += rng.normal(scale=noise, size=d11.shape)
+    d22 += rng.normal(scale=noise, size=d22.shape)
+    return (xa11, d11), (xa22, d22), pcube

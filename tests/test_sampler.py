@@ -1,0 +1,158 @@
+"""Nested sampler validation on analytic problems.
+
+The reference's correctness oracle for evidences is MultiNest itself;
+here we validate against closed-form evidence integrals, which is a
+stronger check (SURVEY.md section 4 strategy item 3).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax import random
+
+from nestfit_tpu.sampling import (
+    NSConfig,
+    information_criteria,
+    posterior_products,
+    run_nested,
+)
+
+
+def gaussian_loglike(sigma, mu=0.5, normalized=False):
+    """Isotropic Gaussian in the unit cube.
+
+    With L(x) = exp(-|x-mu|^2 / (2 sigma^2)), the evidence over the
+    unit cube is ~ (2 pi sigma^2)^{D/2} for sigma << 1.
+    """
+
+    def loglike(u):
+        d2 = jnp.sum((u - mu) ** 2, axis=-1)
+        lnl = -0.5 * d2 / sigma**2
+        if normalized:
+            ndim = u.shape[-1]
+            lnl = lnl - 0.5 * ndim * jnp.log(2 * jnp.pi * sigma**2)
+        return lnl
+
+    return loglike
+
+
+@pytest.mark.parametrize("ndim,sigma", [(2, 0.05), (6, 0.05), (12, 0.08)])
+def test_gaussian_evidence(ndim, sigma):
+    R = 8
+    cfg = NSConfig(nlive=200, tol=0.1)
+    res = run_nested(
+        random.key(0), gaussian_loglike(sigma), ndim, R, cfg,
+        dtype=jnp.float64,
+    )
+    lnz_true = 0.5 * ndim * np.log(2 * np.pi * sigma**2)
+    lnz = np.asarray(res.lnz)
+    err = np.asarray(res.lnz_err)
+    assert np.all(np.asarray(res.converged))
+    # each run within 4 sigma of the analytic evidence; batch mean tighter
+    assert np.all(np.abs(lnz - lnz_true) < 4 * np.maximum(err, 0.05)), (
+        lnz, lnz_true, err
+    )
+    assert abs(lnz.mean() - lnz_true) < 2 * err.mean() / np.sqrt(R) + 0.08
+    # H should be near the analytic information for a Gaussian
+    h_true = -lnz_true - 0.5 * ndim
+    assert np.all(np.abs(np.asarray(res.h) - h_true) < 0.15 * abs(h_true) + 1.0)
+
+
+def test_gaussian_evidence_f32():
+    # float32 on-device accumulation path with a large lnL offset: the
+    # shift machinery must keep lnZ accurate.
+    ndim, sigma = 6, 0.05
+    offset = -7500.0  # mimics chi-square magnitudes
+
+    def loglike(u):
+        d2 = jnp.sum((u - 0.5) ** 2, axis=-1)
+        return (-0.5 * d2 / sigma**2 + offset).astype(jnp.float32)
+
+    cfg = NSConfig(nlive=200, tol=0.1)
+    res = run_nested(random.key(1), loglike, ndim, 8, cfg, dtype=jnp.float32)
+    lnz_true = 0.5 * ndim * np.log(2 * np.pi * sigma**2) + offset
+    lnz = np.asarray(res.lnz)
+    assert np.all(np.abs(lnz - lnz_true) < 4 * np.maximum(np.asarray(res.lnz_err), 0.05))
+
+
+def test_bimodal_evidence():
+    # two well-separated Gaussian modes; slice sampling must not lose
+    # one (the reference relies on MultiNest mmodal for this,
+    # core.pyx:746-747)
+    sigma = 0.04
+    mu1, mu2 = 0.25, 0.75
+    ndim = 4
+
+    def loglike(u):
+        d1 = jnp.sum((u - mu1) ** 2, axis=-1)
+        d2 = jnp.sum((u - mu2) ** 2, axis=-1)
+        return jnp.logaddexp(
+            -0.5 * d1 / sigma**2, -0.5 * d2 / sigma**2
+        )
+
+    cfg = NSConfig(nlive=400, tol=0.1)
+    res = run_nested(random.key(2), loglike, ndim, 8, cfg, dtype=jnp.float64)
+    lnz_true = 0.5 * ndim * np.log(2 * np.pi * sigma**2) + np.log(2.0)
+    lnz = np.asarray(res.lnz)
+    assert np.all(np.abs(lnz - lnz_true) < 5 * np.maximum(np.asarray(res.lnz_err), 0.05)), (
+        lnz, lnz_true, np.asarray(res.lnz_err)
+    )
+
+
+def test_posterior_products_gaussian():
+    ndim, sigma = 4, 0.05
+    R = 4
+    cfg = NSConfig(nlive=200, tol=0.1)
+    res = run_nested(
+        random.key(3), gaussian_loglike(sigma), ndim, R, cfg,
+        dtype=jnp.float64,
+    )
+    prod = posterior_products(res, lambda u: u, random.key(4), n_post=512)
+    # posterior mean ~ mu, std ~ sigma
+    mean = np.asarray(prod.mean_params)
+    std = np.asarray(prod.std_params)
+    assert np.all(np.abs(mean - 0.5) < 0.02)
+    assert np.all(np.abs(std - sigma) < 0.015)
+    # median quantile near mu; 1-sigma interval ~ +-sigma
+    med = np.asarray(prod.marginals[:, 4, :])
+    lo1 = np.asarray(prod.marginals[:, 9, :])
+    hi1 = np.asarray(prod.marginals[:, 10, :])
+    assert np.all(np.abs(med - 0.5) < 0.02)
+    assert np.all(np.abs((hi1 - lo1) / 2 - sigma) < 0.02)
+    # bestfit at the peak
+    assert np.all(np.abs(np.asarray(prod.bestfit_params) - 0.5) < 3 * sigma)
+    # resampled posteriors shaped and weighted correctly
+    assert prod.posteriors.shape == (R, 512, ndim + 2)
+    samples = np.asarray(prod.posteriors[..., :ndim])
+    assert np.all(np.abs(samples.mean(axis=1) - 0.5) < 0.02)
+    assert np.all(np.abs(samples.std(axis=1) - sigma) < 0.02)
+
+
+def test_information_criteria():
+    ic = information_criteria(
+        max_loglike=jnp.asarray(-100.0),
+        null_lnz=jnp.asarray(-150.0),
+        n_chan_tot=400,
+        n_params=6,
+    )
+    n, k, maxl = 400.0, 6.0, -100.0
+    np.testing.assert_allclose(float(ic["BIC"]), np.log(n) * k - 2 * maxl)
+    np.testing.assert_allclose(float(ic["AIC"]), 2 * k - 2 * maxl)
+    np.testing.assert_allclose(
+        float(ic["AICc"]),
+        2 * k - 2 * maxl + (2 * k**2 + 2 * k) / (n - k - 1),
+    )
+    np.testing.assert_allclose(float(ic["null_BIC"]), np.log(n) * k + 300.0)
+
+
+def test_ncall_and_ndead_accounting():
+    res = run_nested(
+        random.key(5), gaussian_loglike(0.1), 2, 4,
+        NSConfig(nlive=100, tol=0.5), dtype=jnp.float64,
+    )
+    n_dead = np.asarray(res.n_dead)
+    assert np.all(n_dead > 100)          # ran a meaningful number of iters
+    assert np.all(np.asarray(res.ncall) > n_dead)
+    assert np.all(np.asarray(res.n_samples) == n_dead + 100)
