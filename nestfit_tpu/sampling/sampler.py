@@ -60,11 +60,15 @@ class NSConfig:
     nlive: int = 100
     tol: float = 1.0              # remaining-evidence termination (dlogz)
     max_iter: int = 0             # 0 -> auto: 60 * nlive
+    method: str = "ellipsoid"     # "ellipsoid" (fast) or "slice" (robust)
     n_repeats: int = 0            # slice steps per replacement; 0 -> 2*ndim
     max_expand: int = 4           # stepping-out rounds per slice step
     max_contract: int = 12        # shrinkage rounds per slice step
     step_scale: float = 2.0       # initial slice width (whitened units)
     cov_reg: float = 1e-10        # covariance diagonal regularizer
+    ell_fudge: float = 1.1        # ellipsoid enlargement over max Mahalanobis
+    ell_cands: int = 8            # parallel candidates per rejection round
+    ell_tries: int = 3            # rejection rounds before slice fallback
 
     def resolved(self, ndim: int) -> "NSConfig":
         max_iter = self.max_iter if self.max_iter > 0 else 60 * self.nlive
@@ -158,9 +162,15 @@ def _shrink_step(loglike, shift, x0, lnl0, dirv, lnl_star, done, cfg):
         t_lo0 = -w * r0
         t_hi0 = t_lo0 + w
 
-        # --- stepping out (Neal 2003), bounded rounds
-        def expand_body(j, carry):
-            t_lo, t_hi, open_lo, open_hi, ncall = carry
+        # --- stepping out (Neal 2003), bounded rounds w/ early exit
+        def expand_cond(carry):
+            j, t_lo, t_hi, open_lo, open_hi, ncall = carry
+            return (j < cfg.max_expand) & jnp.any(
+                (open_lo | open_hi) & ~done
+            )
+
+        def expand_body(carry):
+            j, t_lo, t_hi, open_lo, open_hi, ncall = carry
             lnl_lo = clipped_eval(x0 + t_lo[:, None] * dirv)
             lnl_hi = clipped_eval(x0 + t_hi[:, None] * dirv)
             open_lo = open_lo & (lnl_lo > lnl_star)
@@ -168,12 +178,13 @@ def _shrink_step(loglike, shift, x0, lnl0, dirv, lnl_star, done, cfg):
             t_lo = jnp.where(open_lo, t_lo - w, t_lo)
             t_hi = jnp.where(open_hi, t_hi + w, t_hi)
             ncall = ncall + 2 * jnp.where(done, 0, 1)
-            return t_lo, t_hi, open_lo, open_hi, ncall
+            return j + 1, t_lo, t_hi, open_lo, open_hi, ncall
 
         ones = jnp.ones_like(lnl_star, dtype=bool)
-        t_lo, t_hi, _, _, ncall = lax.fori_loop(
-            0, cfg.max_expand, expand_body,
-            (t_lo0, t_hi0, ones, ones, jnp.zeros_like(lnl_star, dtype=jnp.int32)),
+        _, t_lo, t_hi, _, _, ncall = lax.while_loop(
+            expand_cond, expand_body,
+            (jnp.int32(0), t_lo0, t_hi0, ones, ones,
+             jnp.zeros_like(lnl_star, dtype=jnp.int32)),
         )
 
         # --- shrinkage
@@ -287,8 +298,8 @@ def run_nested(
         lnz_new = jnp.logaddexp(s.lnz, lnw + lnl_star)
         lnz_new = jnp.where(s.done, s.lnz, lnz_new)
 
-        # --- replacement by whitened slice sampling
-        key, k_start, k_dirs, k_slice = random.split(s.key, 4)
+        # --- replacement proposals
+        key, k_start, k_prop = random.split(s.key, 3)
         mean = jnp.mean(s.u, axis=1)                           # [R, D]
         du = s.u - mean[:, None, :]
         cov = jnp.einsum("rld,rle->rde", du, du) / L
@@ -300,20 +311,100 @@ def run_nested(
         x = s.u[rr, start]
         lnl_x = s.lnl[rr, start]
 
-        def repeat_body(j, carry):
-            x, lnl_x, ncall, key = carry
-            key, k_dir, k_step = random.split(key, 3)
-            nvec = random.normal(k_dir, (R, D), dtype=dtype)
-            dirv = jnp.einsum("rde,re->rd", chol, nvec)
-            step = _shrink_step(
-                loglike, shift, x, lnl_x, dirv, lnl_star, s.done, cfg
-            )
-            x, lnl_x, nc = step(k_step)
-            return x, lnl_x, ncall + nc, key
+        def clipped_eval(xp):
+            xq = jnp.clip(xp, 0.0, 1.0)
+            inb = jnp.all((xp >= 0.0) & (xp <= 1.0), axis=-1)
+            return jnp.where(inb, loglike(xq) - shift, _NEG)
 
-        x, lnl_x, ncall, key = lax.fori_loop(
-            0, cfg.n_repeats, repeat_body, (x, lnl_x, s.ncall, k_slice)
-        )
+        def slice_chain(x, lnl_x, ncall, key, active, n_repeats):
+            """n_repeats whitened slice steps from (x, lnl_x)."""
+            def repeat_body(j, carry):
+                x, lnl_x, ncall, key = carry
+                key, k_dir, k_step = random.split(key, 3)
+                nvec = random.normal(k_dir, (R, D), dtype=dtype)
+                dirv = jnp.einsum("rde,re->rd", chol, nvec)
+                step = _shrink_step(
+                    loglike, shift, x, lnl_x, dirv, lnl_star,
+                    s.done | ~active, cfg,
+                )
+                xn, lnln, nc = step(k_step)
+                x = jnp.where(active[:, None], xn, x)
+                lnl_x = jnp.where(active, lnln, lnl_x)
+                return x, lnl_x, ncall + nc, key
+
+            return lax.fori_loop(
+                0, n_repeats, repeat_body, (x, lnl_x, ncall, key)
+            )
+
+        if cfg.method == "ellipsoid":
+            # MultiNest-style bounding-ellipsoid rejection: enclose the
+            # live set in the covariance ellipsoid scaled to the
+            # maximum Mahalanobis radius (times a fudge), and draw
+            # uniformly inside it until above the threshold.  Each
+            # round evaluates ``ell_cands`` candidates per run in one
+            # batched call; the first acceptable candidate wins.
+            T = cfg.ell_cands
+            dz = jax.scipy.linalg.solve_triangular(
+                chol, jnp.swapaxes(du, 1, 2), lower=True
+            )                                                   # [R, D, L]
+            rmax = jnp.sqrt(jnp.max(jnp.sum(dz * dz, axis=1), axis=1))
+            rmax = rmax * cfg.ell_fudge                         # [R]
+
+            def rej_cond(carry):
+                j, key, x, lnl_x, acc, ncall = carry
+                return (j < cfg.ell_tries) & jnp.any(~(acc | s.done))
+
+            def rej_body(carry):
+                j, key, x, lnl_x, acc, ncall = carry
+                key, k_dir, k_rad = random.split(key, 3)
+                y = random.normal(k_dir, (T, R, D), dtype=dtype)
+                y = y / jnp.linalg.norm(y, axis=-1, keepdims=True)
+                r = random.uniform(k_rad, (T, R), dtype=dtype) ** (1.0 / D)
+                z = (rmax * r)[..., None] * y
+                xp = mean + jnp.einsum("rde,tre->trd", chol, z)
+                lnlp = lax.map(clipped_eval, xp)                # [T, R]
+                ok = lnlp > lnl_star                            # [T, R]
+                # first acceptable candidate per run
+                first = jnp.argmax(ok, axis=0)                  # [R]
+                any_ok = jnp.any(ok, axis=0)
+                xb = jnp.take_along_axis(
+                    xp, first[None, :, None], axis=0
+                )[0]
+                lnlb = jnp.take_along_axis(lnlp, first[None, :], axis=0)[0]
+                newly = any_ok & ~acc
+                x = jnp.where(newly[:, None], xb, x)
+                lnl_x = jnp.where(newly, lnlb, lnl_x)
+                ncall = ncall + jnp.where(s.done, 0, T)
+                return j + 1, key, x, lnl_x, acc | any_ok, ncall
+
+            k_rej, k_fall = random.split(k_prop)
+            acc0 = jnp.zeros((R,), dtype=bool)
+            _, _, x, lnl_x, acc, ncall = lax.while_loop(
+                rej_cond, rej_body,
+                (jnp.int32(0), k_rej, x, lnl_x, acc0, s.ncall),
+            )
+
+            # stragglers (rare): full slice chain, skipped entirely
+            # when every run accepted
+            def fallback(args):
+                x, lnl_x, ncall, key, acc = args
+                x, lnl_x, ncall, _ = slice_chain(
+                    x, lnl_x, ncall, key, ~acc, cfg.n_repeats
+                )
+                return x, lnl_x, ncall
+
+            x, lnl_x, ncall = lax.cond(
+                jnp.any(~(acc | s.done)),
+                fallback,
+                lambda args: (args[0], args[1], args[2]),
+                (x, lnl_x, ncall, k_fall, acc),
+            )
+            key = k_fall
+        else:
+            x, lnl_x, ncall, key = slice_chain(
+                x, lnl_x, s.ncall, k_prop,
+                jnp.ones((R,), dtype=bool), cfg.n_repeats,
+            )
 
         # replace worst live point (frozen for finished runs)
         u_new = s.u.at[rr, worst].set(

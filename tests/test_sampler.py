@@ -38,10 +38,11 @@ def gaussian_loglike(sigma, mu=0.5, normalized=False):
     return loglike
 
 
+@pytest.mark.parametrize("method", ["slice", "ellipsoid"])
 @pytest.mark.parametrize("ndim,sigma", [(2, 0.05), (6, 0.05), (12, 0.08)])
-def test_gaussian_evidence(ndim, sigma):
+def test_gaussian_evidence(ndim, sigma, method):
     R = 8
-    cfg = NSConfig(nlive=200, tol=0.1)
+    cfg = NSConfig(nlive=200, tol=0.1, method=method)
     res = run_nested(
         random.key(0), gaussian_loglike(sigma), ndim, R, cfg,
         dtype=jnp.float64,
@@ -92,7 +93,7 @@ def test_bimodal_evidence():
             -0.5 * d1 / sigma**2, -0.5 * d2 / sigma**2
         )
 
-    cfg = NSConfig(nlive=400, tol=0.1)
+    cfg = NSConfig(nlive=400, tol=0.1, method="ellipsoid")
     res = run_nested(random.key(2), loglike, ndim, 8, cfg, dtype=jnp.float64)
     lnz_true = 0.5 * ndim * np.log(2 * np.pi * sigma**2) + np.log(2.0)
     lnz = np.asarray(res.lnz)
