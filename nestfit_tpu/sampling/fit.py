@@ -1,0 +1,102 @@
+"""Fit orchestration: runner + nested sampler + posterior products.
+
+The per-pixel fit pipeline of the reference --
+``run_multinest(runner, dumper)`` plus the ``mn_dump`` output capture
+(reference: core/core.pyx:727-823, 627-687) -- as one jitted batched
+function: a batch of R pixels' spectra goes in, a complete set of
+per-pixel evidences, posteriors, marginals, and information criteria
+comes out.
+"""
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import random
+
+from nestfit_tpu.models.runner import Runner
+from nestfit_tpu.sampling.results import (
+    PosteriorProducts,
+    information_criteria,
+    posterior_products,
+)
+from nestfit_tpu.sampling.sampler import NSConfig, NSResult, run_nested
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["ns", "products", "null_lnz", "ics"],
+    meta_fields=["ncomp", "n_params", "n_chan_tot"],
+)
+@dataclasses.dataclass(frozen=True)
+class FitResult:
+    """Everything ``mn_dump`` persists, for a batch of R runs
+    (reference core.pyx:645-687)."""
+
+    ns: NSResult
+    products: PosteriorProducts
+    null_lnz: jax.Array     # [R]
+    ics: dict               # BIC/AIC/AICc + null variants, each [R]
+    ncomp: int
+    n_params: int
+    n_chan_tot: int
+
+    @property
+    def lnz(self):
+        return self.ns.lnz
+
+    @property
+    def lnz_err(self):
+        return self.ns.lnz_err
+
+
+def fit_batch(
+    key,
+    runner: Runner,
+    n_runs: int,
+    config: NSConfig = NSConfig(),
+    n_post: int = 512,
+    dtype=jnp.float32,
+) -> FitResult:
+    """Fit a batch of pixels with nested sampling.
+
+    The runner's spectra must hold per-pixel data with leading batch
+    dim ``n_runs`` (or unbatched data broadcast to every run).  This is
+    the batched analogue of one ``run_multinest`` call per pixel
+    (reference main.py:448-472 inner loop).
+    """
+    k_ns, k_post = random.split(jnp.asarray(key) if not hasattr(key, "dtype") else key)
+
+    def loglike(u):
+        return runner.loglike_unit(u).astype(dtype)
+
+    ns = run_nested(k_ns, loglike, runner.ndim, n_runs, config, dtype=dtype)
+    products = posterior_products(
+        ns, lambda u: runner.transform(u), k_post, n_post=n_post
+    )
+    null_lnz = jnp.broadcast_to(
+        jnp.asarray(runner.null_lnZ, dtype=dtype), (n_runs,)
+    )
+    ics = information_criteria(
+        ns.max_loglike, null_lnz, runner.n_chan_tot, runner.n_params
+    )
+    return FitResult(
+        ns=ns,
+        products=products,
+        null_lnz=null_lnz,
+        ics=ics,
+        ncomp=runner.ncomp,
+        n_params=runner.n_params,
+        n_chan_tot=runner.n_chan_tot,
+    )
+
+
+def fit_single(key, runner: Runner, config: NSConfig = NSConfig(nlive=400, tol=0.5),
+               n_post: int = 512, dtype=jnp.float32) -> FitResult:
+    """Single-spectrum fit, the ``test_nested`` entry point equivalent
+    (reference main.py:1279-1294; single-fit defaults nlive=400,
+    tol=0.5 per core.pyx:729-731)."""
+    return fit_batch(key, runner, 1, config, n_post=n_post, dtype=dtype)

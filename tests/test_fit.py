@@ -1,0 +1,114 @@
+"""End-to-end fit tests on synthetic spectra with known truth.
+
+Mirrors the reference's smoke/recovery strategy: ``test_nested``
+(reference main.py:1279-1294) and parameter-recovery tolerance checks.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+from jax import random
+
+from nestfit_tpu import oracle
+from nestfit_tpu.models import GaussianRunner, AmmoniaRunner, gaussian
+from nestfit_tpu.priors import get_gaussian_priors, get_irdc_priors
+from nestfit_tpu.sampling import NSConfig
+from nestfit_tpu.sampling.fit import fit_batch, fit_single
+from nestfit_tpu.synth import get_test_spectra
+from nestfit_tpu.utils import freq_axis_from_velocity
+
+REST = 23.6944955e9
+
+
+def make_gauss_spec(params, noise=0.1, seed=0, vchan=0.158):
+    vaxis = np.arange(-12, 12, vchan)
+    xarr = freq_axis_from_velocity(vaxis, REST)
+    truth = oracle.gauss_predict(xarr, params, REST)
+    rng = np.random.default_rng(seed)
+    data = truth + rng.normal(scale=noise, size=xarr.shape[0])
+    return gaussian.make_gaussian_spectrum(
+        xarr, data, noise, rest_freq=REST
+    ), xarr, truth
+
+
+def test_fit_single_gaussian_recovery():
+    params = np.array([0.5, 0.45, 2.5])  # voff, sigm, peak
+    spec, xarr, truth = make_gauss_spec(params, noise=0.1, seed=1)
+    utrans = get_gaussian_priors(vsys=0.0)
+    runner = GaussianRunner(spec, utrans, ncomp=1)
+    res = fit_single(random.key(0), runner,
+                     NSConfig(nlive=200, tol=0.5))
+    assert bool(res.ns.converged[0])
+    best = np.asarray(res.products.bestfit_params[0])
+    # recovered parameters near truth (tolerances ~ few noise sigma)
+    assert abs(best[0] - params[0]) < 0.15
+    assert abs(best[1] - params[1]) < 0.15
+    assert abs(best[2] - params[2]) < 0.3
+    # evidence strongly favors signal over null
+    assert float(res.lnz[0]) - float(res.null_lnz[0]) > 50.0
+
+
+def test_fit_batch_model_selection_gaussian():
+    """1-comp data: lnZ(2) - lnZ(1) must be below the threshold;
+    2-comp data: above (the Bayes-factor ladder gate,
+    reference main.py:448-472)."""
+    utrans = get_gaussian_priors(vsys=0.0)
+    p1 = np.array([0.0, 0.5, 3.0])
+    p2 = np.array([-1.5, 1.5, 0.4, 0.4, 2.0, 2.0])
+    spec1, *_ = make_gauss_spec(p1, noise=0.15, seed=2)
+    spec2, *_ = make_gauss_spec(p2, noise=0.15, seed=3)
+
+    data = jnp.stack([spec1.data, spec2.data])     # [2, S]
+    noise = jnp.stack([spec1.noise, spec2.noise])
+    import dataclasses as dc
+    spec_b = dc.replace(spec1, data=data, noise=noise)
+
+    lnz = {}
+    for ncomp in (1, 2):
+        runner = GaussianRunner(spec_b, utrans, ncomp=ncomp)
+        res = fit_batch(random.key(10 + ncomp), runner, 2,
+                        NSConfig(nlive=150, tol=1.0))
+        lnz[ncomp] = np.asarray(res.lnz)
+        if ncomp == 1:
+            null = np.asarray(res.null_lnz)
+    # pixel 0 (1-comp truth): adding a second comp gains < 11
+    assert lnz[2][0] - lnz[1][0] < 11.0
+    # pixel 1 (2-comp truth): second comp gains > 11
+    assert lnz[2][1] - lnz[1][1] > 11.0
+    # both pixels: signal vs null is decisive
+    assert np.all(lnz[1] - null > 11.0)
+
+
+@pytest.mark.slow
+def test_fit_single_ammonia_recovery():
+    """2-transition 1-comp ammonia fit recovers truth parameters
+    (the reference's canonical seeded test, main.py:1279-1294, with
+    1-comp truth for speed)."""
+    from nestfit_tpu.synth import SyntheticSpectrum
+    from nestfit_tpu.models.tables import AMMONIA_TRANSITIONS
+
+    vaxis = np.arange(-30, 30, 0.158)
+    params = np.array([-1.0, 12.0, 6.0, 14.8, 0.35, 0.0])
+    syn = [
+        SyntheticSpectrum(
+            freq_axis_from_velocity(vaxis, AMMONIA_TRANSITIONS[i].nu),
+            params, noise=0.1, trans_id=i + 1, set_seed=True,
+        )
+        for i in range(2)
+    ]
+    spectra = [s.to_ammspec() for s in syn]
+    utrans = get_irdc_priors(vsys=0)
+    runner = AmmoniaRunner(spectra, utrans, ncomp=1)
+    res = fit_single(random.key(7), runner, NSConfig(nlive=200, tol=0.5))
+    assert bool(res.ns.converged[0])
+    best = np.asarray(res.products.bestfit_params[0])
+    voff, trot, tex, ntot, sigm, orth = best
+    assert abs(voff - params[0]) < 0.1
+    assert abs(trot - params[1]) < 3.0
+    assert abs(tex - params[2]) < 1.0
+    assert abs(ntot - params[3]) < 0.4
+    assert abs(sigm - params[4]) < 0.1
+    assert float(res.lnz[0]) - float(res.null_lnz[0]) > 100.0
+    # information criteria ordering sanity
+    assert float(res.ics["BIC"][0]) < float(res.ics["null_BIC"][0])
