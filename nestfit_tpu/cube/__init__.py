@@ -1,0 +1,9 @@
+from nestfit_tpu.cube.cube import (
+    CubeStack,
+    DataCube,
+    NoiseMap,
+    NoiseMapUniform,
+)
+from nestfit_tpu.cube.fitter import CubeFitter, get_multiproc_indices
+from nestfit_tpu.cube.fits_io import read_fits, write_fits
+from nestfit_tpu.cube.store import HdfStore

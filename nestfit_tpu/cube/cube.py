@@ -1,0 +1,236 @@
+"""Cube data containers: noise maps, data cubes, cube stacks.
+
+TPU-native rebuild of the reference cube layer
+(reference: main.py:39-223).  Same semantics -- data transposed to
+``(l, b, S)`` so the channel axis is contiguous/minor, frequency axis
+forced ascending, per-pixel noise -- plus *batched* accessors that
+return the whole field as dense arrays for the vectorized fitter
+(the reference reads one pixel at a time, main.py:168-172).
+"""
+
+import numpy as np
+
+from nestfit_tpu.constants import CKMS
+from nestfit_tpu.cube.fits_io import read_fits
+
+
+class NoiseMap:
+    """Per-pixel RMS noise map (reference: main.py:39-65)."""
+
+    def __init__(self, data):
+        # data comes in (b, l); transpose to (l, b) to match the cube
+        self.data = np.asarray(data).transpose()
+        self.shape = self.data.shape
+
+    @classmethod
+    def from_pbimg(cls, rms, pb_img):
+        pb_img = np.asarray(pb_img)
+        shape = pb_img.shape
+        naxes = len(shape)
+        if naxes == 4:
+            pb_img = pb_img[0, 0]
+        elif naxes == 3:
+            pb_img = pb_img[0]
+        elif naxes != 2:
+            raise ValueError(f"Cannot parse shape : {shape}")
+        img = rms / pb_img
+        img[~np.isfinite(img)] = np.inf
+        return cls(img)
+
+    def get_noise(self, i_lon, i_lat):
+        return self.data[i_lon, i_lat]
+
+
+class NoiseMapUniform:
+    """Uniform scalar RMS (reference: main.py:68-74)."""
+
+    def __init__(self, rms):
+        self.rms = rms
+        self.shape = None
+
+    def get_noise(self, i_lon, i_lat):
+        return self.rms
+
+
+class DataCube:
+    """One transition's spectral cube (reference: main.py:77-172).
+
+    Construct from dense arrays (``data`` in K with shape (l, b, S) or
+    (S, b, l), ``xarr`` ascending Hz) or via :meth:`from_fits`.
+    """
+
+    def __init__(self, data, xarr, noise_map, trans_id=None, header=None,
+                 rest_freq=None):
+        if isinstance(noise_map, (float, int)):
+            self.noise_map = NoiseMapUniform(noise_map)
+        else:
+            self.noise_map = noise_map
+        self.trans_id = trans_id
+        data = np.asarray(data)
+        xarr = np.asarray(xarr, dtype=np.float64)
+        if data.shape[0] == xarr.shape[0] and data.shape[-1] != xarr.shape[0]:
+            # (S, b, l) -> (l, b, S), the reference's transpose
+            # (main.py:150-153)
+            data = data.transpose()
+        assert data.shape[-1] == xarr.shape[0]
+        if xarr[1] < xarr[0]:
+            xarr = xarr[::-1].copy()
+            data = data[..., ::-1].copy()
+        self.data = data
+        self.xarr = xarr
+        self._header = dict(header) if header else {}
+        self.rest_freq = (
+            rest_freq if rest_freq is not None
+            else self._header.get("RESTFRQ", float(xarr[xarr.shape[0] // 2]))
+        )
+        nu_chan = xarr[1] - xarr[0]
+        self.dv = abs(nu_chan) / self.rest_freq * CKMS
+        # velocity axis paired to ascending frequency is descending
+        # (main.py:155-166)
+        self.varr = CKMS * (1.0 - xarr / self.rest_freq)
+        self.shape = self.data.shape
+        self.spatial_shape = (self.shape[0], self.shape[1])
+        self.nchan = self.shape[2]
+        if self.noise_map.shape is not None:
+            assert self.spatial_shape == self.noise_map.shape
+
+    @classmethod
+    def from_fits(cls, path, noise_map=None, trans_id=None):
+        """Read a FITS cube with a FREQ or VRAD spectral axis."""
+        data, header = read_fits(path)
+        if data.ndim == 4:
+            data = data[0]
+        assert data.ndim == 3, data.shape
+        n_s = header.get("NAXIS3", data.shape[0])
+        ctype3 = str(header.get("CTYPE3", "FREQ")).upper()
+        crval = header["CRVAL3"]
+        cdelt = header["CDELT3"]
+        crpix = header.get("CRPIX3", 1)
+        axis = crval + (np.arange(n_s) + 1 - crpix) * cdelt
+        rest = header.get("RESTFRQ", header.get("RESTFREQ"))
+        if ctype3.startswith("VRAD") or ctype3.startswith("VELO"):
+            unit = str(header.get("CUNIT3", "m/s")).lower()
+            vel = axis / 1000.0 if unit.startswith("m") else axis
+            assert rest, "velocity axis requires RESTFRQ"
+            xarr = rest * (1.0 - vel / CKMS)
+        else:
+            xarr = axis
+        if xarr[1] < xarr[0]:
+            xarr = xarr[::-1].copy()
+            data = data[::-1].copy()
+        if noise_map is None:
+            noise_map = header.get("RMS", 1.0)
+        return cls(data, xarr, noise_map, trans_id=trans_id, header=header,
+                   rest_freq=rest)
+
+    @property
+    def full_header(self):
+        return self._header
+
+    @property
+    def simple_header(self):
+        """2-D WCS subset of the header (reference: main.py:100-127)."""
+        keys = (
+            "SIMPLE", "BITPIX", "NAXIS", "NAXIS1", "NAXIS2", "WCSAXES",
+            "CRPIX1", "CRPIX2", "CDELT1", "CDELT2", "CUNIT1", "CUNIT2",
+            "CTYPE1", "CTYPE2", "CRVAL1", "CRVAL2", "RADESYS", "EQUINOX",
+        )
+        hdict = {k: self._header[k] for k in keys if k in self._header}
+        hdict["NAXIS"] = 2
+        hdict["WCSAXES"] = 2
+        return hdict
+
+    def get_spec_data(self, i_lon, i_lat):
+        """(xarr, arr, noise, trans_id, has_nans) for one pixel
+        (reference: main.py:168-172)."""
+        arr = self.data[i_lon, i_lat, :]
+        noise = self.noise_map.get_noise(i_lon, i_lat)
+        has_nans = bool(np.isnan(arr).any() or np.isnan(noise))
+        return self.xarr, arr, noise, self.trans_id, has_nans
+
+    # --- batched accessors for the vectorized fitter
+    def get_flat_data(self):
+        """data [n_pix, S] flattened over (l, b) in C order."""
+        return self.data.reshape(-1, self.nchan)
+
+    def get_flat_noise(self):
+        n_pix = self.spatial_shape[0] * self.spatial_shape[1]
+        if self.noise_map.shape is None:
+            return np.full(n_pix, self.noise_map.rms, dtype=np.float64)
+        return self.noise_map.data.reshape(-1).astype(np.float64)
+
+
+class CubeStack:
+    """Ordered set of DataCubes, one per transition
+    (reference: main.py:175-223)."""
+
+    def __init__(self, cubes):
+        self.cubes = list(cubes)
+        self.n_cubes = len(self.cubes)
+        shapes = {c.spatial_shape for c in self.cubes}
+        assert len(shapes) == 1, "cubes must share the spatial grid"
+
+    def __iter__(self):
+        yield from self.cubes
+
+    @property
+    def full_header(self):
+        return self.cubes[0].full_header
+
+    @property
+    def simple_header(self):
+        return self.cubes[0].simple_header
+
+    @property
+    def shape(self):
+        # reference reports the (S, b, l) cube shape (main.py:193-195)
+        c = self.cubes[0]
+        return (c.nchan, c.spatial_shape[1], c.spatial_shape[0])
+
+    @property
+    def spatial_shape(self):
+        return self.cubes[0].spatial_shape
+
+    def get_arrays(self, i_lon, i_lat):
+        return [c.get_spec_data(i_lon, i_lat)[1] for c in self.cubes]
+
+    def get_spec_data(self, i_lon, i_lat):
+        all_spec_data = []
+        any_nans = False
+        for dcube in self.cubes:
+            *spec_data, has_nans = dcube.get_spec_data(i_lon, i_lat)
+            all_spec_data.append(spec_data)
+            any_nans |= has_nans
+        return all_spec_data, any_nans
+
+    def get_max_snr(self, i_lon, i_lat):
+        max_snr = 0.0
+        for dcube in self.cubes:
+            _, arr, noise, _, _ = dcube.get_spec_data(i_lon, i_lat)
+            with np.errstate(invalid="ignore"):
+                spec_snr = np.nanmax(arr) / noise
+            if spec_snr > max_snr:
+                max_snr = spec_snr
+        return max_snr
+
+    # --- batched accessors
+    def get_flat_batch(self):
+        """Dense per-pixel arrays for the whole field.
+
+        Returns
+        -------
+        datas : list of [n_pix, S_t] per cube
+        noises : list of [n_pix] per cube
+        nan_mask : [n_pix] bool (any NaN in any cube/noise)
+        max_snr : [n_pix]
+        """
+        datas = [c.get_flat_data() for c in self.cubes]
+        noises = [c.get_flat_noise() for c in self.cubes]
+        nan_mask = np.zeros(datas[0].shape[0], dtype=bool)
+        max_snr = np.zeros(datas[0].shape[0])
+        for d, n in zip(datas, noises):
+            nan_mask |= np.isnan(d).any(axis=1) | np.isnan(n)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                snr = np.nanmax(d, axis=1) / n
+            max_snr = np.fmax(max_snr, snr)
+        return datas, noises, nan_mask, max_snr

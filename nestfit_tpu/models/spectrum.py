@@ -127,10 +127,11 @@ def make_spectrum(
     assert nu_chan > 0, "frequency axis must be ascending"
     if rest_freq is None:
         rest_freq = float(xarr[xarr.shape[0] // 2])
-    data = np.asarray(data)
+    # data/noise may be JAX tracers (the batched fitter passes them as
+    # jitted-function arguments); validate only when concrete.
     assert data.shape[-1] == xarr.shape[0]
-    noise = np.asarray(noise, dtype=np.float64)
-    assert np.all(noise > 0)
+    if isinstance(noise, (int, float, np.ndarray)):
+        assert np.all(np.asarray(noise) > 0)
     t0 = H * xarr / KB
     tbg = 1.0 / np.expm1(t0 / tcmb)
     return Spectrum(

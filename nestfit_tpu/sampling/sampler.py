@@ -69,6 +69,7 @@ class NSConfig:
     ell_fudge: float = 1.1        # ellipsoid enlargement over max Mahalanobis
     ell_cands: int = 8            # parallel candidates per rejection round
     ell_tries: int = 3            # rejection rounds before slice fallback
+    init_chunk: int = 32          # live-point chunk for the init evals
 
     def resolved(self, ndim: int) -> "NSConfig":
         max_iter = self.max_iter if self.max_iter > 0 else 60 * self.nlive
@@ -251,7 +252,7 @@ def run_nested(
     # --- initialize live points
     key, k_init = random.split(key)
     u0 = random.uniform(k_init, (L, R, D), dtype=dtype)
-    lnl0 = lax.map(loglike, u0)                  # [L, R]
+    lnl0 = lax.map(loglike, u0, batch_size=min(cfg.init_chunk, L))  # [L, R]
     u0 = jnp.transpose(u0, (1, 0, 2))            # [R, L, D]
     lnl0 = jnp.transpose(lnl0)                   # [R, L]
     shift = jnp.max(lnl0, axis=1)                # [R]
@@ -362,7 +363,7 @@ def run_nested(
                 r = random.uniform(k_rad, (T, R), dtype=dtype) ** (1.0 / D)
                 z = (rmax * r)[..., None] * y
                 xp = mean + jnp.einsum("rde,tre->trd", chol, z)
-                lnlp = lax.map(clipped_eval, xp)                # [T, R]
+                lnlp = lax.map(clipped_eval, xp, batch_size=T)  # [T, R]
                 ok = lnlp > lnl_star                            # [T, R]
                 # first acceptable candidate per run
                 first = jnp.argmax(ok, axis=0)                  # [R]

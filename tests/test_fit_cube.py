@@ -1,0 +1,89 @@
+"""End-to-end cube fit + store round trip.
+
+The ``test_fit_cube`` analogue (reference: main.py:1354-1361) on a
+small synthetic ammonia cube: full CubeFitter ladder, chunked store
+writing, external links, and per-pixel group content.
+"""
+
+import numpy as np
+import pytest
+
+from nestfit_tpu import oracle
+from nestfit_tpu.cube import CubeFitter, CubeStack, DataCube, HdfStore
+from nestfit_tpu.models import AmmoniaRunner
+from nestfit_tpu.models.tables import AMMONIA_TRANSITIONS
+from nestfit_tpu.priors import get_irdc_priors
+from nestfit_tpu.utils import freq_axis_from_velocity
+
+
+@pytest.fixture(scope="module")
+def synth_stack():
+    """4x2 pixel cube: 3 empty pixels, 4 one-comp pixels, 1 NaN pixel."""
+    n_lon, n_lat, n_chan = 4, 2, 128
+    noise = 0.1
+    rng = np.random.default_rng(7)
+    vaxis = np.linspace(-15, 15, n_chan)
+    cubes = []
+    params = np.array([0.5, 11.0, 5.5, 14.6, 0.4, 0.0])
+    for tid in (1, 2):
+        nu = AMMONIA_TRANSITIONS[tid - 1].nu
+        xarr = freq_axis_from_velocity(vaxis, nu)
+        data = rng.normal(scale=noise, size=(n_lon, n_lat, n_chan))
+        truth = oracle.amm_predict(xarr, params, trans_id=tid)
+        for (l, b) in [(0, 0), (1, 1), (2, 0), (3, 1)]:
+            data[l, b] += truth
+        data[0, 1, 3] = np.nan  # NaN pixel skipped (main.py:438-441)
+        cubes.append(DataCube(data, xarr, noise_map=noise, trans_id=tid))
+    return CubeStack(cubes), params
+
+
+@pytest.mark.slow
+def test_fit_cube_store_roundtrip(synth_stack, tmp_path):
+    stack, params = synth_stack
+    utrans = get_irdc_priors(vsys=0.0)
+    fitter = CubeFitter(
+        stack, utrans, AmmoniaRunner, ncomp_max=2,
+        ns_kwargs={"nlive": 60, "tol": 1.0},
+        batch_size=8, n_post=128, nlive_buckets=1,
+    )
+    store_name = str(tmp_path / "test_cube")
+    fitter.fit_cube(store_name=store_name, seed=3)
+
+    with HdfStore(store_name) as store:
+        hdf = store.hdf
+        assert hdf.attrs["n_max_components"] == 2
+        assert hdf.attrs["model_name"] == "ammonia"
+        assert hdf.attrs["naxis1"] == 4 and hdf.attrs["naxis2"] == 2
+        # NaN pixel absent; 7 valid pixels present
+        groups = list(store.iter_pix_groups())
+        assert len(groups) == 7
+        n_signal = 0
+        for g in groups:
+            i_lon, i_lat = g.attrs["i_lon"], g.attrs["i_lat"]
+            nb = g.attrs["nbest"]
+            sub = g["1"]
+            assert sub.attrs["ncomp"] == 1
+            assert np.isfinite(sub.attrs["global_lnZ"])
+            assert sub["posteriors"].shape[1] == 6 + 2
+            assert sub["marginals"].shape == (15, 6)
+            assert sub["bestfit_params"].shape == (6,)
+            is_signal = (i_lon, i_lat) in [(0, 0), (1, 1), (2, 0), (3, 1)]
+            if is_signal:
+                n_signal += 1
+                assert nb >= 1, (i_lon, i_lat, nb)
+                # recovered centroid near truth
+                best = sub["bestfit_params"][...]
+                assert abs(best[0] - params[0]) < 0.2
+                # 1-comp truth: the 2-comp rung must not be preferred
+                assert nb == 1, (i_lon, i_lat, nb)
+            else:
+                assert nb == 0, (i_lon, i_lat, nb)
+                # noise pixel: lnZ ~ null_lnZ
+                assert (
+                    sub.attrs["global_lnZ"] - sub.attrs["null_lnZ"] < 11
+                )
+        assert n_signal == 4
+        # nbest=1 pixels must have a 2-comp group (the rung that failed
+        # the gate still ran and was stored)
+        g = hdf["/pix/0/0"]
+        assert "2" in g
