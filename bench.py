@@ -69,26 +69,25 @@ def main():
 
     # reference cube-fit defaults (main.py:381-386)
     cfg = NSConfig(nlive=nlive, tol=1.0)
+    seg = int(os.environ.get("BENCH_SEGMENT_ITERS", "250"))
 
     runners = {n: make_runner(n) for n in (1, 2)}
 
     def ladder(key):
         k1, k2 = random.split(key)
-        r1 = fit_batch(k1, runners[1], n_pix, cfg)
-        r2 = fit_batch(k2, runners[2], n_pix, cfg)
+        r1 = fit_batch(k1, runners[1], n_pix, cfg, segment_iters=seg)
+        r2 = fit_batch(k2, runners[2], n_pix, cfg, segment_iters=seg)
         return r1, r2
-
-    ladder_jit = jax.jit(ladder)
 
     log("bench: compiling + warmup ...")
     t0 = time.perf_counter()
-    r1, r2 = ladder_jit(random.key(0))
+    r1, r2 = ladder(random.key(0))
     jax.block_until_ready((r1.lnz, r2.lnz))
     t_compile = time.perf_counter() - t0
     log(f"bench: warmup (incl. compile) {t_compile:.1f}s")
 
     t0 = time.perf_counter()
-    r1, r2 = ladder_jit(random.key(seed))
+    r1, r2 = ladder(random.key(seed))
     jax.block_until_ready((r1.lnz, r2.lnz))
     elapsed = time.perf_counter() - t0
 

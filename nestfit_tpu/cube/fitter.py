@@ -77,7 +77,7 @@ class CubeFitter:
     def __init__(self, stack, utrans, runner_cls, runner_kwargs=None,
                  lnZ_thresh=11, ncomp_max=2, ns_kwargs=None,
                  nlive_snr_fact=5, batch_size=1024, n_post=512,
-                 nlive_buckets=4):
+                 nlive_buckets=4, segment_iters=256):
         self.stack = stack
         self.utrans = utrans
         self.runner_cls = runner_cls
@@ -91,6 +91,7 @@ class CubeFitter:
         self.batch_size = batch_size
         self.n_post = n_post
         self.nlive_buckets = nlive_buckets
+        self.segment_iters = segment_iters
         self._jit_cache = {}
 
     # mn_kwargs alias for reference API parity
@@ -187,16 +188,14 @@ class CubeFitter:
             p *= 2
         return p
 
-    def _get_fit_fn(self, ncomp, r_pad, cfg):
-        """Cached jitted fit over traced data arrays."""
-        cache_key = (ncomp, r_pad, cfg)
+    def _get_template_runner(self, ncomp, r_pad, datas, noises):
+        """One runner template per (ncomp, batch size): repeated
+        batches reuse its compiled sampler (data enters as arguments)."""
+        cache_key = (ncomp, r_pad)
         if cache_key not in self._jit_cache:
-            def fn(key, datas, noises):
-                runner = self._make_runner(datas, noises, ncomp)
-                return fit_batch(key, runner, r_pad, cfg,
-                                 n_post=self.n_post)
-
-            self._jit_cache[cache_key] = jax.jit(fn)
+            self._jit_cache[cache_key] = self._make_runner(
+                datas, noises, ncomp
+            )
         return self._jit_cache[cache_key]
 
     def _fit_batch_ladder(self, key, batch_ix, datas, noises, cfg,
@@ -217,10 +216,16 @@ class CubeFitter:
                 cur_ix, np.full(r_pad - cur_ix.size, cur_ix[0]),
             ])
             d_b = [jnp.asarray(d[pad_ix], dtype=jnp.float32) for d in datas]
-            n_b = [jnp.asarray(n[pad_ix], dtype=jnp.float32) for n in noises]
+            n_b = [jnp.asarray(np.maximum(n[pad_ix], 1e-30),
+                               dtype=jnp.float32) for n in noises]
             key, sub = random.split(key)
             t0 = time.time()
-            fit = self._get_fit_fn(ncomp, r_pad, cfg)(sub, d_b, n_b)
+            template = self._get_template_runner(ncomp, r_pad, d_b, n_b)
+            data_tree = tuple(zip(d_b, n_b))
+            fit = fit_batch(
+                sub, template, r_pad, cfg, n_post=self.n_post,
+                segment_iters=self.segment_iters, data=data_tree,
+            )
             jax.block_until_ready(fit.lnz)
             log.info(
                 "batch ladder: ncomp=%d R=%d (pad %d) nlive=%d took %.1fs",

@@ -69,6 +69,25 @@ class Runner:
         """Ln-likelihood of the all-zero model (core.pyx:518-520)."""
         return sum(s.null_lnZ for s in self.spectra)
 
+    # --- data threading (for compile reuse across pixel batches) ---
+    def data_tree(self):
+        """The per-pixel arrays as a pytree: ((data, noise), ...)."""
+        return tuple((s.data, s.noise) for s in self.spectra)
+
+    def with_data(self, data_tree):
+        """New Runner with replaced per-pixel data/noise arrays (the
+        static channel-axis terms are shared with this instance)."""
+        import dataclasses as _dc
+
+        spectra = tuple(
+            _dc.replace(spec, data=d, noise=n)
+            for spec, (d, n) in zip(self.spectra, data_tree)
+        )
+        new = object.__new__(type(self))
+        new.__dict__.update(self.__dict__)
+        new.spectra = spectra
+        return new
+
     def predict(self, theta):
         """Model spectra per transition: tuple of f32[..., S_t]."""
         theta = jnp.asarray(theta)

@@ -53,6 +53,42 @@ class FitResult:
         return self.ns.lnz_err
 
 
+# caches for the segmented path (stable identity per runner template
+# -> compile reuse across pixel batches with fresh data)
+_LOGLIKE_CACHE = {}
+_FINALIZE_CACHE = {}
+
+
+def _loglike2_for(runner: Runner, dtype):
+    key = (id(runner), jnp.dtype(dtype).name)
+    if key not in _LOGLIKE_CACHE:
+        def loglike2(u, data):
+            return runner.with_data(data).loglike_unit(u).astype(dtype)
+
+        _LOGLIKE_CACHE[key] = (loglike2, runner)
+    return _LOGLIKE_CACHE[key][0]
+
+
+def _finalize_for(runner: Runner, n_post, dtype):
+    key = (id(runner), n_post, jnp.dtype(dtype).name)
+    if key not in _FINALIZE_CACHE:
+        def finalize(ns, data, k_post):
+            r2 = runner.with_data(data)
+            products = posterior_products(
+                ns, lambda u: r2.transform(u), k_post, n_post=n_post
+            )
+            null_lnz = jnp.broadcast_to(
+                jnp.asarray(r2.null_lnZ, dtype=dtype), ns.lnz.shape
+            )
+            ics = information_criteria(
+                ns.max_loglike, null_lnz, r2.n_chan_tot, r2.n_params
+            )
+            return products, null_lnz, ics
+
+        _FINALIZE_CACHE[key] = (jax.jit(finalize), runner)
+    return _FINALIZE_CACHE[key][0]
+
+
 def fit_batch(
     key,
     runner: Runner,
@@ -60,6 +96,8 @@ def fit_batch(
     config: NSConfig = NSConfig(),
     n_post: int = 512,
     dtype=jnp.float32,
+    segment_iters: int = 0,
+    data=None,
 ) -> FitResult:
     """Fit a batch of pixels with nested sampling.
 
@@ -67,22 +105,46 @@ def fit_batch(
     dim ``n_runs`` (or unbatched data broadcast to every run).  This is
     the batched analogue of one ``run_multinest`` call per pixel
     (reference main.py:448-472 inner loop).
+
+    With ``segment_iters > 0`` the sampler runs as a host-driven loop
+    of bounded device segments (robust on real hardware, not jittable
+    from outside); pass ``data`` (``runner.data_tree()``-structured)
+    to substitute fresh pixel data while reusing the compiled sampler
+    of this runner template.
     """
-    k_ns, k_post = random.split(jnp.asarray(key) if not hasattr(key, "dtype") else key)
+    k_ns, k_post = random.split(key)
 
-    def loglike(u):
-        return runner.loglike_unit(u).astype(dtype)
+    if segment_iters and segment_iters > 0:
+        if data is None:
+            data = runner.data_tree()
+        loglike2 = _loglike2_for(runner, dtype)
+        ns = run_nested(
+            k_ns, loglike2, runner.ndim, n_runs, config, dtype=dtype,
+            data=data, segment_iters=segment_iters,
+        )
+        products, null_lnz, ics = _finalize_for(runner, n_post, dtype)(
+            ns, data, k_post
+        )
+    else:
+        assert data is None, (
+            "data substitution requires segment_iters > 0; in traced "
+            "mode the runner's own spectra are used"
+        )
 
-    ns = run_nested(k_ns, loglike, runner.ndim, n_runs, config, dtype=dtype)
-    products = posterior_products(
-        ns, lambda u: runner.transform(u), k_post, n_post=n_post
-    )
-    null_lnz = jnp.broadcast_to(
-        jnp.asarray(runner.null_lnZ, dtype=dtype), (n_runs,)
-    )
-    ics = information_criteria(
-        ns.max_loglike, null_lnz, runner.n_chan_tot, runner.n_params
-    )
+        def loglike(u):
+            return runner.loglike_unit(u).astype(dtype)
+
+        ns = run_nested(k_ns, loglike, runner.ndim, n_runs, config,
+                        dtype=dtype)
+        products = posterior_products(
+            ns, lambda u: runner.transform(u), k_post, n_post=n_post
+        )
+        null_lnz = jnp.broadcast_to(
+            jnp.asarray(runner.null_lnZ, dtype=dtype), (n_runs,)
+        )
+        ics = information_criteria(
+            ns.max_loglike, null_lnz, runner.n_chan_tot, runner.n_params
+        )
     return FitResult(
         ns=ns,
         products=products,

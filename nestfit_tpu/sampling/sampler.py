@@ -11,12 +11,11 @@ driven by callbacks, a *batch* of R independent nested-sampling runs
   accumulates the evidence with the standard deterministic
   prior-volume compression ``X_i = exp(-i/nlive)``, and replaces the
   worst point with a new draw above the likelihood threshold;
-* replacement uses whitened random-direction slice sampling
-  (PolyChord-style): directions are drawn from the live-point
-  empirical covariance, with Neal's stepping-out and shrinkage.  This
-  is robust on the correlated, bounded posteriors nested sampling is
-  used for and contains no data-dependent shapes, so it vmaps/shards
-  cleanly;
+* replacement uses MultiNest-style bounding-ellipsoid rejection with
+  parallel candidates (fast path) or whitened random-direction slice
+  sampling with stepping-out/shrinkage (robust path; also the fallback
+  when rejection fails), both free of data-dependent shapes so they
+  vmap/shard cleanly;
 * per-run termination follows the remaining-evidence criterion
   ``logaddexp(lnZ, lnX + max lnL_live) - lnZ < tol`` (the role of
   MultiNest's ``tol``, core.pyx:752-753); finished runs freeze via
@@ -27,8 +26,18 @@ maximum so float32 ``logaddexp`` accumulation keeps ~1e-5 absolute
 accuracy regardless of the raw lnL magnitude; the shift cancels in the
 information integral H and is added back to the returned lnZ.
 
-The likelihood callable must satisfy ``loglike(u: f32[R, ndim]) ->
-f32[R]`` and be pure JAX (it is called inside ``lax.while_loop``).
+Execution is split into ``ns_init`` / ``ns_segment`` / ``ns_finalize``
+pure functions.  ``run_nested`` composes them either as one traced
+computation (jittable; used by tests and the multi-chip dry run) or as
+a host-driven loop of bounded device segments (``segment_iters > 0``);
+the segmented mode keeps each device dispatch short -- essential for
+remote-tunneled TPU workers with RPC deadlines -- and enables compile
+reuse across pixel batches because the spectra enter as traced
+arguments (``data``) rather than closure constants.
+
+The likelihood callable is either ``loglike(u: f32[R, ndim]) -> f32[R]``
+(data baked in) or ``loglike(u, data) -> f32[R]`` with a ``data``
+pytree passed to ``run_nested``; it must be pure JAX.
 """
 
 import dataclasses
@@ -52,9 +61,9 @@ class NSConfig:
     Maps onto the MultiNest knob set the reference exposes
     (core.pyx:727-776): ``nlive`` and ``tol`` are the same quantities;
     ``efr``'s role (proposal aggressiveness) is covered by
-    ``step_scale``/``n_repeats``; ellipsoidal decomposition /
-    mode-separation knobs have no analogue because slice sampling does
-    not need a bounding geometry.
+    ``ell_fudge``/``ell_cands``; ellipsoidal mode-separation knobs have
+    no analogue (a single conservative bound plus the slice fallback
+    covers multimodality at an efficiency, not correctness, cost).
     """
 
     nlive: int = 100
@@ -80,8 +89,8 @@ class NSConfig:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=[
-        "key", "u", "lnl", "lnz", "done", "converged", "n_dead", "ncall",
-        "dead_u", "dead_lnl", "i",
+        "key", "u", "lnl", "lnl_shift", "lnz", "done", "converged",
+        "n_dead", "ncall", "dead_u", "dead_lnl", "i",
     ],
     meta_fields=[],
 )
@@ -90,6 +99,7 @@ class _State:
     key: jax.Array        # PRNG key (shared; draws are batched over R)
     u: jax.Array          # [R, L, D] live points (unit cube)
     lnl: jax.Array        # [R, L] shifted ln-likelihoods
+    lnl_shift: jax.Array  # [R] per-run shift (initial live max)
     lnz: jax.Array        # [R] shifted accumulated evidence
     done: jax.Array       # [R] bool
     converged: jax.Array  # [R] bool (terminated by tol, not max_iter)
@@ -114,9 +124,9 @@ class NSResult:
     """Raw output of a batch of nested sampling runs.
 
     All log-likelihood arrays are *unshifted* (absolute).  Weights
-    ``dead_lnw``/``live_lnw`` are un-normalized log posterior masses
-    ``lnw_k + lnL_k`` is the contribution to Z); entries beyond
-    ``n_dead`` are masked to ``-1e30``.
+    ``dead_lnw``/``live_lnw`` are log prior-mass widths (``lnw_k +
+    lnL_k`` is the contribution to Z); entries beyond ``n_dead`` are
+    masked to ``-1e30``.
     """
 
     lnz: jax.Array         # [R] ln evidence
@@ -142,22 +152,20 @@ class NSResult:
         return self.n_dead + self.nlive
 
 
-def _shrink_step(loglike, shift, x0, lnl0, dirv, lnl_star, done, cfg):
+def _shrink_step(loglike2, data, shift, x0, lnl0, dirv, lnl_star, done, cfg):
     """One slice: stepping-out then shrinkage along direction ``dirv``.
 
     x0/lnl0: current chain point [R, D]/[R] (satisfies lnl0 > lnl_star).
-    Returns new chain point (x, lnl, ncall_add, key-consumed handled by
-    caller passing fresh keys).
     """
 
     def clipped_eval(xp):
         xq = jnp.clip(xp, 0.0, 1.0)
         inb = jnp.all((xp >= 0.0) & (xp <= 1.0), axis=-1)
-        lnl = loglike(xq) - shift
+        lnl = loglike2(xq, data) - shift
         return jnp.where(inb, lnl, _NEG)
 
     def make(key):
-        k_off, k_exp, k_shrink = random.split(key, 3)
+        k_off, k_shrink = random.split(key)
         r0 = random.uniform(k_off, lnl_star.shape, dtype=x0.dtype)
         w = jnp.asarray(cfg.step_scale, dtype=x0.dtype)
         t_lo0 = -w * r0
@@ -222,46 +230,24 @@ def _shrink_step(loglike, shift, x0, lnl0, dirv, lnl_star, done, cfg):
     return make
 
 
-def run_nested(
-    key,
-    loglike: Callable,
-    ndim: int,
-    n_runs: int,
-    config: NSConfig = NSConfig(),
-    dtype=jnp.float32,
-) -> NSResult:
-    """Run ``n_runs`` independent nested-sampling fits in lockstep.
-
-    Parameters
-    ----------
-    key : PRNG key
-    loglike : callable
-        ``loglike(u: dtype[n_runs, ndim]) -> dtype[n_runs]``; includes
-        the prior transform (unit cube in, ln-likelihood out), i.e. the
-        function MultiNest would call back (core.pyx:622-624).
-    ndim : int
-        Unit-cube dimensionality (``n_params * ncomp``).
-    n_runs : int
-        Batch size R (pixels fit concurrently).
-    """
-    cfg = config.resolved(ndim)
+def ns_init(key, loglike2, data, ndim: int, n_runs: int, cfg: NSConfig,
+            dtype=jnp.float32) -> _State:
+    """Draw and evaluate the initial live-point set."""
+    cfg = cfg.resolved(ndim)
     R, L, D = n_runs, cfg.nlive, ndim
-    inv_l = 1.0 / L
-    ln_comp = float(np.log1p(-np.exp(-inv_l)))   # log(1 - e^{-1/L})
-
-    # --- initialize live points
     key, k_init = random.split(key)
     u0 = random.uniform(k_init, (L, R, D), dtype=dtype)
-    lnl0 = lax.map(loglike, u0, batch_size=min(cfg.init_chunk, L))  # [L, R]
-    u0 = jnp.transpose(u0, (1, 0, 2))            # [R, L, D]
-    lnl0 = jnp.transpose(lnl0)                   # [R, L]
-    shift = jnp.max(lnl0, axis=1)                # [R]
+    lnl0 = lax.map(lambda u: loglike2(u, data),
+                   u0, batch_size=min(cfg.init_chunk, L))     # [L, R]
+    u0 = jnp.transpose(u0, (1, 0, 2))
+    lnl0 = jnp.transpose(lnl0)
+    shift = jnp.max(lnl0, axis=1)
     lnl0 = lnl0 - shift[:, None]
-
-    state = _State(
+    return _State(
         key=key,
         u=u0,
         lnl=lnl0,
+        lnl_shift=shift,
         lnz=jnp.full((R,), _NEG, dtype=dtype),
         done=jnp.zeros((R,), dtype=bool),
         converged=jnp.zeros((R,), dtype=bool),
@@ -272,12 +258,23 @@ def run_nested(
         i=jnp.int32(0),
     )
 
+
+def ns_segment(state: _State, loglike2, data, cfg: NSConfig,
+               seg_end) -> _State:
+    """Advance all runs until ``i >= seg_end`` or every run is done."""
+    R, L, D = state.u.shape
+    cfg = cfg.resolved(D)
+    dtype = state.u.dtype
+    inv_l = 1.0 / L
+    ln_comp = float(np.log1p(-np.exp(-inv_l)))
     rr = jnp.arange(R)
+    seg_end = jnp.minimum(jnp.asarray(seg_end, jnp.int32), cfg.max_iter)
 
     def cond(s: _State):
-        return (~jnp.all(s.done)) & (s.i < cfg.max_iter)
+        return (~jnp.all(s.done)) & (s.i < seg_end)
 
     def body(s: _State):
+        shift = s.lnl_shift
         worst = jnp.argmin(s.lnl, axis=1)                      # [R]
         lnl_star = s.lnl[rr, worst]                            # [R]
         u_worst = s.u[rr, worst]                               # [R, D]
@@ -315,17 +312,16 @@ def run_nested(
         def clipped_eval(xp):
             xq = jnp.clip(xp, 0.0, 1.0)
             inb = jnp.all((xp >= 0.0) & (xp <= 1.0), axis=-1)
-            return jnp.where(inb, loglike(xq) - shift, _NEG)
+            return jnp.where(inb, loglike2(xq, data) - shift, _NEG)
 
         def slice_chain(x, lnl_x, ncall, key, active, n_repeats):
-            """n_repeats whitened slice steps from (x, lnl_x)."""
             def repeat_body(j, carry):
                 x, lnl_x, ncall, key = carry
                 key, k_dir, k_step = random.split(key, 3)
                 nvec = random.normal(k_dir, (R, D), dtype=dtype)
                 dirv = jnp.einsum("rde,re->rd", chol, nvec)
                 step = _shrink_step(
-                    loglike, shift, x, lnl_x, dirv, lnl_star,
+                    loglike2, data, shift, x, lnl_x, dirv, lnl_star,
                     s.done | ~active, cfg,
                 )
                 xn, lnln, nc = step(k_step)
@@ -338,12 +334,6 @@ def run_nested(
             )
 
         if cfg.method == "ellipsoid":
-            # MultiNest-style bounding-ellipsoid rejection: enclose the
-            # live set in the covariance ellipsoid scaled to the
-            # maximum Mahalanobis radius (times a fudge), and draw
-            # uniformly inside it until above the threshold.  Each
-            # round evaluates ``ell_cands`` candidates per run in one
-            # batched call; the first acceptable candidate wins.
             T = cfg.ell_cands
             dz = jax.scipy.linalg.solve_triangular(
                 chol, jnp.swapaxes(du, 1, 2), lower=True
@@ -364,8 +354,7 @@ def run_nested(
                 z = (rmax * r)[..., None] * y
                 xp = mean + jnp.einsum("rde,tre->trd", chol, z)
                 lnlp = lax.map(clipped_eval, xp, batch_size=T)  # [T, R]
-                ok = lnlp > lnl_star                            # [T, R]
-                # first acceptable candidate per run
+                ok = lnlp > lnl_star
                 first = jnp.argmax(ok, axis=0)                  # [R]
                 any_ok = jnp.any(ok, axis=0)
                 xb = jnp.take_along_axis(
@@ -400,9 +389,8 @@ def run_nested(
                 lambda args: (args[0], args[1], args[2]),
                 (x, lnl_x, ncall, k_fall, acc),
             )
-            key = k_fall
         else:
-            x, lnl_x, ncall, key = slice_chain(
+            x, lnl_x, ncall, _ = slice_chain(
                 x, lnl_x, s.ncall, k_prop,
                 jnp.ones((R,), dtype=bool), cfg.n_repeats,
             )
@@ -427,6 +415,7 @@ def run_nested(
             key=key,
             u=u_new,
             lnl=lnl_new,
+            lnl_shift=shift,
             lnz=lnz_new,
             done=s.done | newly_done,
             converged=s.converged | newly_conv,
@@ -437,9 +426,17 @@ def run_nested(
             i=s.i + 1,
         )
 
-    state = lax.while_loop(cond, body, state)
+    return lax.while_loop(cond, body, state)
 
-    # --- finalization: weights, live contribution, H, error
+
+def ns_finalize(state: _State, cfg: NSConfig) -> NSResult:
+    """Weights, live-point contribution, information, and error."""
+    R, L, D = state.u.shape
+    cfg = cfg.resolved(D)
+    dtype = state.u.dtype
+    inv_l = 1.0 / L
+    shift = state.lnl_shift
+
     n_dead = jnp.minimum(state.n_dead, state.i)
     idx = jnp.arange(cfg.max_iter, dtype=dtype)
     dead_lnw = -(idx + 1.0) * inv_l + float(np.log(np.expm1(inv_l)))
@@ -454,13 +451,11 @@ def run_nested(
     )
     live_lnl_s = state.lnl
 
-    # total (shifted) evidence over dead + live contributions
     all_lnwl = jnp.concatenate(
         [dead_lnw + dead_lnl_s, live_lnw + live_lnl_s], axis=1
     )
     lnz_s = jax.scipy.special.logsumexp(all_lnwl, axis=1)
 
-    # information H = sum p_k lnL_k - lnZ (shift-invariant)
     all_lnl = jnp.concatenate([dead_lnl_s, live_lnl_s], axis=1)
     p = jnp.exp(all_lnwl - lnz_s[:, None])
     h = jnp.sum(jnp.where(all_lnl > _NEG / 2, p * all_lnl, 0.0), axis=1) - lnz_s
@@ -489,3 +484,85 @@ def run_nested(
         ndim=D,
         max_iter=cfg.max_iter,
     )
+
+
+def _normalize_loglike(loglike, data):
+    """Accept either loglike(u) or loglike(u, data)."""
+    if data is None:
+        return (lambda u, _data: loglike(u)), None
+    return loglike, data
+
+
+# jit cache for the segmented path: keyed by likelihood identity,
+# config, and input structure so repeated pixel batches reuse compiles
+_JIT_CACHE = {}
+
+
+def _get_segment_jits(loglike2, cfg, ndim, n_runs, dtype):
+    key = (id(loglike2), cfg, ndim, n_runs, jnp.dtype(dtype).name)
+    if key not in _JIT_CACHE:
+        init_j = jax.jit(
+            lambda k, data: ns_init(k, loglike2, data, ndim, n_runs, cfg,
+                                    dtype)
+        )
+        seg_j = jax.jit(
+            lambda st, data, seg_end: ns_segment(st, loglike2, data, cfg,
+                                                 seg_end)
+        )
+        fin_j = jax.jit(lambda st: ns_finalize(st, cfg))
+        # keep a strong reference to loglike2 so id() stays unique
+        _JIT_CACHE[key] = (init_j, seg_j, fin_j, loglike2)
+    return _JIT_CACHE[key][:3]
+
+
+def run_nested(
+    key,
+    loglike: Callable,
+    ndim: int,
+    n_runs: int,
+    config: NSConfig = NSConfig(),
+    dtype=jnp.float32,
+    data=None,
+    segment_iters: int = 0,
+) -> NSResult:
+    """Run ``n_runs`` independent nested-sampling fits in lockstep.
+
+    Parameters
+    ----------
+    key : PRNG key
+    loglike : callable
+        ``loglike(u: dtype[n_runs, ndim]) -> dtype[n_runs]`` (or
+        ``loglike(u, data)`` when ``data`` is given); includes the
+        prior transform, i.e. the function MultiNest would call back
+        (core.pyx:622-624).
+    ndim : int
+        Unit-cube dimensionality (``n_params * ncomp``).
+    n_runs : int
+        Batch size R (pixels fit concurrently).
+    data : pytree, optional
+        Per-run data passed through to ``loglike``; threading it as an
+        argument (rather than a closure) lets repeated calls with new
+        data reuse the compiled sampler.
+    segment_iters : int
+        0 -> single traced computation (jittable).  >0 -> host loop of
+        bounded device segments (recommended on real hardware).
+    """
+    cfg = config.resolved(ndim)
+    loglike2, data = _normalize_loglike(loglike, data)
+
+    if segment_iters and segment_iters > 0:
+        init_j, seg_j, fin_j = _get_segment_jits(
+            loglike2, cfg, ndim, n_runs, dtype
+        )
+        state = init_j(key, data)
+        while True:
+            i = int(state.i)
+            if i >= cfg.max_iter or bool(np.asarray(state.done).all()):
+                break
+            state = seg_j(state, data,
+                          jnp.int32(min(i + segment_iters, cfg.max_iter)))
+        return fin_j(state)
+
+    state = ns_init(key, loglike2, data, ndim, n_runs, cfg, dtype)
+    state = ns_segment(state, loglike2, data, cfg, cfg.max_iter)
+    return ns_finalize(state, cfg)

@@ -157,3 +157,24 @@ def test_ncall_and_ndead_accounting():
     assert np.all(n_dead > 100)          # ran a meaningful number of iters
     assert np.all(np.asarray(res.ncall) > n_dead)
     assert np.all(np.asarray(res.n_samples) == n_dead + 100)
+
+
+def test_segmented_matches_traced():
+    # the host-driven segmented loop must reproduce the single-trace
+    # path exactly (same PRNG sequence, same state machine)
+    ndim = 4
+    ll = gaussian_loglike(0.06)
+    cfg = NSConfig(nlive=100, tol=0.3)
+    res_a = run_nested(random.key(9), ll, ndim, 4, cfg, dtype=jnp.float64)
+    res_b = run_nested(random.key(9), lambda u, _d: ll(u), ndim, 4, cfg,
+                       dtype=jnp.float64, data={}, segment_iters=137)
+    np.testing.assert_allclose(
+        np.asarray(res_a.lnz), np.asarray(res_b.lnz), rtol=1e-12
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_a.n_dead), np.asarray(res_b.n_dead)
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_a.max_loglike), np.asarray(res_b.max_loglike),
+        rtol=1e-12,
+    )
