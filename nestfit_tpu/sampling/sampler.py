@@ -35,9 +35,11 @@ remote-tunneled TPU workers with RPC deadlines -- and enables compile
 reuse across pixel batches because the spectra enter as traced
 arguments (``data``) rather than closure constants.
 
-The likelihood callable is either ``loglike(u: f32[R, ndim]) -> f32[R]``
-(data baked in) or ``loglike(u, data) -> f32[R]`` with a ``data``
-pytree passed to ``run_nested``; it must be pure JAX.
+The likelihood callable is either ``loglike(u: f32[..., R, ndim]) ->
+f32[..., R]`` (data baked in) or ``loglike(u, data)`` with a ``data``
+pytree passed to ``run_nested``; it must be pure JAX and broadcast over
+extra leading batch axes (the sampler batches initial live points and
+proposal candidates that way).
 """
 
 import dataclasses
@@ -237,8 +239,17 @@ def ns_init(key, loglike2, data, ndim: int, n_runs: int, cfg: NSConfig,
     R, L, D = n_runs, cfg.nlive, ndim
     key, k_init = random.split(key)
     u0 = random.uniform(k_init, (L, R, D), dtype=dtype)
-    lnl0 = lax.map(lambda u: loglike2(u, data),
-                   u0, batch_size=min(cfg.init_chunk, L))     # [L, R]
+    # evaluate the L x R initial points in bounded equal chunks
+    # (static Python loop -- lax.map(batch_size=...) compiles
+    # pathologically slowly on some TPU backends); loglike2 broadcasts
+    # over the extra leading chunk axis
+    c = max(1, min(cfg.init_chunk, L))
+    while L % c:
+        c -= 1
+    chunks = [
+        loglike2(u0[lo:lo + c], data) for lo in range(0, L, c)
+    ]
+    lnl0 = jnp.concatenate(chunks, axis=0)                    # [L, R]
     u0 = jnp.transpose(u0, (1, 0, 2))
     lnl0 = jnp.transpose(lnl0)
     shift = jnp.max(lnl0, axis=1)
@@ -353,7 +364,7 @@ def ns_segment(state: _State, loglike2, data, cfg: NSConfig,
                 r = random.uniform(k_rad, (T, R), dtype=dtype) ** (1.0 / D)
                 z = (rmax * r)[..., None] * y
                 xp = mean + jnp.einsum("rde,tre->trd", chol, z)
-                lnlp = lax.map(clipped_eval, xp, batch_size=T)  # [T, R]
+                lnlp = clipped_eval(xp)                         # [T, R]
                 ok = lnlp > lnl_star
                 first = jnp.argmax(ok, axis=0)                  # [R]
                 any_ok = jnp.any(ok, axis=0)
@@ -487,10 +498,21 @@ def ns_finalize(state: _State, cfg: NSConfig) -> NSResult:
 
 
 def _normalize_loglike(loglike, data):
-    """Accept either loglike(u) or loglike(u, data)."""
+    """Accept either loglike(u) or loglike(u, data), and route rank-2
+    calls through a leading unit axis (works around pathological XLA
+    compile times observed for fused rank-2 transform+predict+chi2
+    graphs on some TPU backends)."""
     if data is None:
-        return (lambda u, _data: loglike(u)), None
-    return loglike, data
+        base = lambda u, _data: loglike(u)  # noqa: E731
+    else:
+        base = loglike
+
+    def wrapped(u, d):
+        if u.ndim == 2:
+            return base(u[None], d)[0]
+        return base(u, d)
+
+    return wrapped, data
 
 
 # jit cache for the segmented path: keyed by likelihood identity,

@@ -37,8 +37,8 @@ def synth_stack():
     return CubeStack(cubes), params
 
 
-@pytest.mark.slow
-def test_fit_cube_store_roundtrip(synth_stack, tmp_path):
+@pytest.fixture(scope="module")
+def fitted_store_name(synth_stack, tmp_path_factory):
     stack, params = synth_stack
     utrans = get_irdc_priors(vsys=0.0)
     fitter = CubeFitter(
@@ -46,8 +46,15 @@ def test_fit_cube_store_roundtrip(synth_stack, tmp_path):
         ns_kwargs={"nlive": 60, "tol": 1.0},
         batch_size=8, n_post=128, nlive_buckets=1,
     )
-    store_name = str(tmp_path / "test_cube")
+    store_name = str(tmp_path_factory.mktemp("store") / "test_cube")
     fitter.fit_cube(store_name=store_name, seed=3)
+    return store_name
+
+
+@pytest.mark.slow
+def test_fit_cube_store_roundtrip(synth_stack, fitted_store_name):
+    stack, params = synth_stack
+    store_name = fitted_store_name
 
     with HdfStore(store_name) as store:
         hdf = store.hdf
@@ -87,3 +94,58 @@ def test_fit_cube_store_roundtrip(synth_stack, tmp_path):
         # the gate still ran and was stored)
         g = hdf["/pix/0/0"]
         assert "2" in g
+
+
+@pytest.mark.slow
+def test_postprocess_products(synth_stack, fitted_store_name, tmp_path):
+    """All post-processing products with reference shapes
+    (store_spec.rst:100-126)."""
+    from nestfit_tpu.cube.products import postprocess_run, create_fits_from_store
+
+    stack, params = synth_stack
+    with HdfStore(fitted_store_name) as store:
+        runner = AmmoniaRunner(
+            tuple(
+                AmmoniaRunner.model.make_model_spectrum(
+                    c.xarr, np.zeros_like(c.xarr), 0.1, trans_id=c.trans_id
+                )
+                for c in stack.cubes
+            ),
+            None, ncomp=1,
+        )
+        postprocess_run(store, stack, runner, evid_kernel=1.0,
+                        post_kernel=1.0)
+        hdf = store.hdf
+        n_lon, n_lat = 4, 2
+        m, p, M, h = 2, 6, 15, 199
+        # (m, b, l) maps
+        assert hdf["/products/evidence"].shape == (m + 1, n_lat, n_lon)
+        assert hdf["/products/evidence_err"].shape == (m + 1, n_lat, n_lon)
+        assert hdf["/products/BIC"].shape == (m + 1, n_lat, n_lon)
+        assert hdf["/products/nbest"].shape == (n_lat, n_lon)
+        assert hdf["/products/conv_nbest"].shape == (n_lat, n_lon)
+        assert hdf["/products/nbest_MAP"].shape == (m, p, n_lat, n_lon)
+        assert hdf["/products/nbest_marginals"].shape == (m, p, M, n_lat, n_lon)
+        assert hdf["/products/post_pdfs"].shape == (m, m, p, h, n_lat, n_lon)
+        assert hdf["/products/conv_post_pdfs"].shape == (m, m, p, h, n_lat, n_lon)
+        assert hdf["/products/conv_marginals"].shape == (m, m, p, M, n_lat, n_lon)
+        assert hdf["/products/peak_intensity"].shape == (2, m, n_lat, n_lon)
+        assert hdf["/products/integrated_intensity"].shape == (2, m, n_lat, n_lon)
+        nbins = hdf["/products/pdf_bins"].shape[1]
+        assert hdf["/products/hf_deblended"].shape == (2, m, nbins, n_lat, n_lon)
+        assert hdf["/products/model_spec/trans1"].shape == (m, 128, n_lat, n_lon)
+        # signal pixels have finite MAP values; noise pixels NaN
+        nbest = hdf["/products/nbest"][...]
+        assert (nbest == 1).sum() >= 3  # most signal pixels selected
+        mapd = hdf["/products/nbest_MAP"][...]
+        sig_vals = mapd[0, 0, 0, 0]  # (l=0, b=0) signal pixel voff
+        assert np.isfinite(sig_vals)
+        # hf_deblended integrates to ~ the integrated intensity
+        import os
+        cwd = os.getcwd()
+        os.chdir(tmp_path)
+        try:
+            paths = create_fits_from_store(store, prefix="t")
+        finally:
+            os.chdir(cwd)
+        assert len(paths) == 2
