@@ -156,6 +156,27 @@ def amm_predict(spec: Spectrum, params, cold: bool = False, lte: bool = False):
     return jnp.sum(tb, axis=-2)
 
 
+def fused_chi2(spec: Spectrum, params_flat, cold: bool = False,
+               lte: bool = False):
+    """Fused Pallas spectrum-synthesis + chi-square for flat-batched
+    params [B, 6*ncomp] (see ops/fused.py); B must be a multiple of
+    the data batch R with row alignment ``b % R``."""
+    from nestfit_tpu.ops import fused
+
+    trans = AMMONIA_TRANSITIONS[spec.trans_id - 1]
+    p = unpack_params(jnp.asarray(params_flat, jnp.float32), N_PARAMS)
+    voff, trot, tex, ntot, sigm, orth = (p[..., i, :] for i in range(N_PARAMS))
+    if cold:
+        trot = swift_convert(trot)
+    if lte:
+        tex = trot
+    tau0 = tau_main(trans, trot, tex, ntot, sigm, orth)
+    return fused.hf_chi2_fused(
+        trans, spec.dnu, spec.t0, spec.tbg, spec.data,
+        voff, tex, tau0, sigm,
+    )
+
+
 def make_ammonia_spectrum(xarr, data, noise, trans_id=1, **kw) -> Spectrum:
     """Equivalent of ``AmmoniaSpectrum`` construction
     (reference: ammonia.pyx:244-277): sets the rest frequency from the

@@ -36,6 +36,19 @@ def nnhp_predict(spec: Spectrum, params):
     return jnp.sum(tb, axis=-2)
 
 
+def fused_chi2(spec: Spectrum, params_flat):
+    """Fused Pallas spectrum-synthesis + chi-square (see ops/fused.py)."""
+    from nestfit_tpu.ops import fused
+
+    trans = DIAZENYLIUM_TRANSITIONS[spec.trans_id - 1]
+    p = unpack_params(jnp.asarray(params_flat, jnp.float32), N_PARAMS)
+    voff, tex, ltau, sigm = (p[..., i, :] for i in range(N_PARAMS))
+    return fused.hf_chi2_fused(
+        trans, spec.dnu, spec.t0, spec.tbg, spec.data,
+        voff, tex, 10.0 ** ltau, sigm,
+    )
+
+
 def make_diazenylium_spectrum(xarr, data, noise, trans_id=1, **kw) -> Spectrum:
     """Equivalent of ``DiazenyliumSpectrum`` construction
     (reference: diazenylium.pyx:105-137)."""

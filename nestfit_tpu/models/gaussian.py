@@ -51,6 +51,19 @@ def gauss_predict(spec: Spectrum, params):
     return jnp.sum(prof, axis=-2)
 
 
+def fused_chi2(spec: Spectrum, params_flat):
+    """Fused Pallas spectrum-synthesis + chi-square (see ops/fused.py)."""
+    from nestfit_tpu.constants import CKMS as _C
+    from nestfit_tpu.ops import fused
+    from nestfit_tpu.models.ammonia import unpack_params as _unpack
+
+    p = _unpack(jnp.asarray(params_flat, jnp.float32), N_PARAMS)
+    voff, sigm, peak = (p[..., i, :] for i in range(N_PARAMS))
+    return fused.gauss_chi2_fused(
+        spec.rest_freq / _C, spec.dnu, spec.data, voff, sigm, peak
+    )
+
+
 def make_gaussian_spectrum(xarr, data, noise, trans_id=-1, **kw) -> Spectrum:
     """Plain Spectrum with rest_freq from the axis midpoint (the
     reference uses ``Spectrum`` directly with an explicit rest_freq,

@@ -96,13 +96,53 @@ class Runner:
             for spec in self.spectra
         )
 
+    #: use the fused Pallas spectrum+chi2 kernels when the model
+    #: provides them and we are on an accelerator backend (the pure
+    #: jnp path remains the reference semantics and the CPU path)
+    use_fused = None  # None -> auto (fused on TPU)
+
+    def _fused_enabled(self):
+        if self.use_fused is not None:
+            return bool(self.use_fused)
+        if not hasattr(self.model, "fused_chi2"):
+            return False
+        import jax
+
+        return jax.default_backend() not in ("cpu",)
+
     def log_likelihood(self, theta):
         """Summed chi-square ln-likelihood over all spectra
         (reference: ammonia.pyx:423-432)."""
+        if self._fused_enabled():
+            return self._log_likelihood_fused(theta)
         preds = self.predict(theta)
         return sum(
             spec.loglikelihood(pred) for spec, pred in zip(self.spectra, preds)
         )
+
+    def _log_likelihood_fused(self, theta):
+        """Fused-kernel path: one Pallas launch per transition.
+
+        ``theta[..., R, ndim]`` with the trailing batch axis aligned to
+        the spectra's pixel axis (flat row ``b`` uses data row
+        ``b % R``).
+        """
+        theta = jnp.asarray(theta)
+        lead = theta.shape[:-1]
+        flat = theta.reshape(-1, theta.shape[-1])
+        B = flat.shape[0]
+        total = 0.0
+        for spec in self.spectra:
+            chi2 = self.model.fused_chi2(spec, flat, **self.predict_kwargs)
+            noise = jnp.asarray(spec.noise)
+            if noise.ndim == 0:
+                inv2v = 1.0 / (2.0 * noise * noise)
+            else:
+                R = noise.shape[0]
+                reps = B // R
+                inv2v = jnp.tile(1.0 / (2.0 * noise * noise), reps)
+            total = total - chi2 * inv2v
+        return total.reshape(lead)
 
     def transform(self, u):
         """Unit-cube -> physical parameters via the prior transformer."""

@@ -31,6 +31,9 @@ from nestfit_tpu.models.tables import Transition
 LANE = 128
 _DNU_PAD = 1.0e12  # off-resonance sentinel for padded channels
 
+# set True to run kernels in the Pallas interpreter (CPU testing)
+INTERPRET = False
+
 
 def _pad_to(x, n, value=0.0, axis=-1):
     pad = n - x.shape[axis]
@@ -88,8 +91,6 @@ def hf_chi2_fused(trans: Transition, dnu, t0, tbg, data,
     hf_freq = (1.0 - trans.voff / CKMS) * trans.nu   # (nhf,) float64
     rel_base = trans.nu * trans.voff / CKMS
     wts = trans.tau_wts
-
-    n_rb = R // np.gcd(R, block_b)  # unused; data blocked modulo below
 
     def kernel(voff_ref, tex_ref, tau_ref, sigm_ref, data_ref,
                dnu_ref, t0_ref, tbg_ref, out_ref):
@@ -161,12 +162,15 @@ def hf_chi2_fused(trans: Transition, dnu, t0, tbg, data,
             (block_b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b_pad, 1), jnp.float32),
+        interpret=INTERPRET,
     )(voff_p, tex_p, tau_p, sigm_p, data_arg,
       dnu_p[None], t0_p[None], tbg_p[None])
     return out[:B, 0]
 
 
-@functools.partial(jax.jit, static_argnames=("block_b",))
+@functools.partial(
+    jax.jit, static_argnames=("rest_freq_over_c", "block_b")
+)
 def gauss_chi2_fused(rest_freq_over_c, dnu, data, voff, sigm, peak,
                      block_b: int = 256):
     """Summed squared residual for the Gaussian model
@@ -233,5 +237,6 @@ def gauss_chi2_fused(rest_freq_over_c, dnu, data, voff, sigm, peak,
             (block_b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b_pad, 1), jnp.float32),
+        interpret=INTERPRET,
     )(voff_p, sigm_p, peak_p, data_arg, dnu_p[None])
     return out[:B, 0]
