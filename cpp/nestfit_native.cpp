@@ -1,0 +1,523 @@
+// nestfit_native: sequential CPU engine for cross-validation and
+// baseline measurement.
+//
+// Plays the role of the reference's native layer -- the Cython model
+// kernels (reference: nestfit/models/*.pyx) and the external MultiNest
+// Fortran sampler (reference: nestfit/core/cmultinest.pxd) -- as a
+// single from-scratch C++ library:
+//
+//  * hyperfine / Gaussian spectrum synthesis + chi-square (dense,
+//    float64; same physics as the JAX kernels, independent code path)
+//  * a classical *sequential* nested sampler (one run at a time,
+//    bounding-ellipsoid rejection with slice fallback) used to
+//    (a) validate the vectorized TPU sampler's evidences against a
+//    conventional implementation, and (b) measure an honest CPU
+//    fits/sec baseline for the benchmark's vs_baseline field.
+//
+// Spectroscopic tables are passed in from Python; this file holds no
+// line data.  Priors are per-dimension tabulated PPFs (linear
+// interpolation on a uniform quantile grid), matching the reference's
+// `Prior`/`Distribution` semantics (core/core.pyx:47-63,169-197).
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <algorithm>
+#include <random>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// model evaluators
+// ---------------------------------------------------------------------------
+
+// Hyperfine opacity + radiative transfer for one velocity component
+// added into pred[n] (optically thin slabs; physics per reference
+// hyperfine.pyx:52-118, exact branch).
+void nf_hf_predict_comp(
+    const double* xarr, const double* t0, const double* tbg, int n_chan,
+    double nu, int nhf, const double* hf_voff, const double* hf_wts,
+    double voff, double tex, double tau_main, double sigm,
+    double* tau_scratch, double* pred)
+{
+    const double CKMS = 299792.458;
+    for (int i = 0; i < n_chan; ++i) tau_scratch[i] = 0.0;
+    for (int j = 0; j < nhf; ++j) {
+        const double hf_freq = (1.0 - hf_voff[j] / CKMS) * nu;
+        const double hf_width = sigm / CKMS * hf_freq;
+        const double hf_nucen = hf_freq - voff / CKMS * hf_freq;
+        const double hf_tau = tau_main * hf_wts[j];
+        const double idenom = 0.5 / (hf_width * hf_width);
+        for (int i = 0; i < n_chan; ++i) {
+            const double d = xarr[i] - hf_nucen;
+            tau_scratch[i] += hf_tau * std::exp(-d * d * idenom);
+        }
+    }
+    for (int i = 0; i < n_chan; ++i) {
+        const double iemtex = 1.0 / std::expm1(t0[i] / tex);
+        pred[i] += t0[i] * (iemtex - tbg[i]) * (1.0 - std::exp(-tau_scratch[i]));
+    }
+}
+
+// Ammonia main-line optical depth (reference ammonia.pyx:289-360).
+double nf_amm_tau_main(
+    double trot, double tex, double ntot, double sigm, double orth,
+    int para, int level_n, double brot, double crot, double nu, double ea)
+{
+    const double H = 6.62607015e-27, KB = 1.380649e-16;
+    const double CKMS = 299792.458, CCMS = 29979245800.0;
+    const double PI = 3.14159265358979323846;
+    auto zlev = [&](int j) {
+        return (2.0 * j + 1.0) * std::exp(
+            -H * (brot * j * (j + 1.0) + (crot - brot) * (double)j * j)
+            / (KB * trot));
+    };
+    double qtot = 0.0;
+    for (int j = 0; j < 51; ++j) {
+        if (para && j % 3 != 0) qtot += zlev(j);
+        if (!para && j % 3 == 0) qtot += 2.0 * zlev(j);
+    }
+    const double frac = para ? (1.0 - orth) : orth;
+    const double pop = std::pow(10.0, ntot) * frac * zlev(level_n) / qtot;
+    const double e = std::exp(-H * nu / (KB * tex));
+    const double expterm = (1.0 - e) / (1.0 + e);
+    const double fracterm = CCMS * CCMS * ea / (8.0 * PI * nu * nu);
+    const double widthterm = CKMS / (sigm * nu * std::sqrt(2.0 * PI));
+    return pop * fracterm * expterm * widthterm;
+}
+
+double nf_chi2(const double* data, const double* pred, int n)
+{
+    double s = 0.0;
+    for (int i = 0; i < n; ++i) {
+        const double d = data[i] - pred[i];
+        s += d * d;
+    }
+    return s;
+}
+
+// ---------------------------------------------------------------------------
+// sequential nested sampler
+// ---------------------------------------------------------------------------
+
+// Spectral dataset for the built-in likelihood: a set of transitions,
+// each with channel arrays and hyperfine tables.
+struct NfSpectrum {
+    const double* xarr;
+    const double* t0;
+    const double* tbg;
+    const double* data;
+    int n_chan;
+    double nu;
+    int nhf;
+    const double* hf_voff;
+    const double* hf_wts;
+    double noise;
+    // ammonia tau parameters (ignored for direct-tau models)
+    int para;
+    int level_n;
+    double ea;
+};
+
+struct NfProblem {
+    int kind;            // 0: analytic gaussian, 1: ammonia, 2: gaussian-mix
+    int ndim;
+    int ncomp;
+    // priors: per-dim PPF tables [ndim, ppf_n]
+    const double* ppf;
+    int ppf_n;
+    // spectra
+    std::vector<NfSpectrum> spectra;
+    // analytic gaussian
+    double asigma;
+    // ammonia constants
+    double brot, crot;
+    // scratch
+    mutable std::vector<double> tau_scratch, pred_scratch, theta_scratch;
+};
+
+static void transform_theta(const NfProblem& P, const double* u, double* theta)
+{
+    // independent per-dimension PPF interpolation (core.pyx:47-63)
+    for (int d = 0; d < P.ndim; ++d) {
+        const double* tab = P.ppf + (size_t)d * P.ppf_n;
+        double x = u[d] * (P.ppf_n - 1);
+        int i = (int)x;
+        if (i > P.ppf_n - 2) i = P.ppf_n - 2;
+        if (i < 0) i = 0;
+        const double f = x - i;
+        theta[d] = tab[i] + (tab[i + 1] - tab[i]) * f;
+    }
+}
+
+static double loglike(const NfProblem& P, const double* u, long* ncall)
+{
+    ++(*ncall);
+    if (P.kind == 0) {
+        double s = 0.0;
+        for (int d = 0; d < P.ndim; ++d) {
+            const double dd = u[d] - 0.5;
+            s += dd * dd;
+        }
+        return -0.5 * s / (P.asigma * P.asigma);
+    }
+    double* theta = P.theta_scratch.data();
+    transform_theta(P, u, theta);
+    const int C = P.ncomp;
+    double lnl = 0.0;
+    for (const auto& sp : P.spectra) {
+        double* pred = P.pred_scratch.data();
+        std::fill(pred, pred + sp.n_chan, 0.0);
+        for (int c = 0; c < C; ++c) {
+            if (P.kind == 1) {
+                // params strided parameter-major [p*C + c]
+                const double voff = theta[0 * C + c];
+                const double trot = theta[1 * C + c];
+                const double tex = theta[2 * C + c];
+                const double ntot = theta[3 * C + c];
+                const double sigm = theta[4 * C + c];
+                const double orth = theta[5 * C + c];
+                const double tm = nf_amm_tau_main(
+                    trot, tex, ntot, sigm, orth, sp.para, sp.level_n,
+                    P.brot, P.crot, sp.nu, sp.ea);
+                nf_hf_predict_comp(
+                    sp.xarr, sp.t0, sp.tbg, sp.n_chan, sp.nu, sp.nhf,
+                    sp.hf_voff, sp.hf_wts, voff, tex, tm, sigm,
+                    P.tau_scratch.data(), pred);
+            } else {
+                // gaussian mixture: voff, sigm, peak
+                const double CKMS = 299792.458;
+                const double voff = theta[0 * C + c];
+                const double sigm = theta[1 * C + c];
+                const double peak = theta[2 * C + c];
+                const double w = sigm / CKMS * sp.nu;
+                const double cen = sp.nu * (1.0 - voff / CKMS);
+                const double idenom = 0.5 / (w * w);
+                for (int i = 0; i < sp.n_chan; ++i) {
+                    const double d = sp.xarr[i] - cen;
+                    pred[i] += peak * std::exp(-d * d * idenom);
+                }
+            }
+        }
+        lnl += -nf_chi2(sp.data, pred, sp.n_chan)
+               / (2.0 * sp.noise * sp.noise);
+    }
+    return lnl;
+}
+
+// Cholesky of a small SPD matrix (in-place lower factor).
+static bool cholesky(std::vector<double>& a, int n)
+{
+    for (int i = 0; i < n; ++i) {
+        for (int j = 0; j <= i; ++j) {
+            double s = a[(size_t)i * n + j];
+            for (int k = 0; k < j; ++k)
+                s -= a[(size_t)i * n + k] * a[(size_t)j * n + k];
+            if (i == j) {
+                if (s <= 0.0) return false;
+                a[(size_t)i * n + i] = std::sqrt(s);
+            } else {
+                a[(size_t)i * n + j] = s / a[(size_t)j * n + j];
+            }
+        }
+        for (int j = i + 1; j < n; ++j) a[(size_t)i * n + j] = 0.0;
+    }
+    return true;
+}
+
+struct NsOut {
+    double lnz;
+    double lnz_err;
+    double h;
+    long n_dead;
+    long ncall;
+    double max_loglike;
+};
+
+static double logaddexp(double a, double b)
+{
+    if (a < b) std::swap(a, b);
+    if (b == -INFINITY) return a;
+    return a + std::log1p(std::exp(b - a));
+}
+
+// Classical sequential nested sampling with single-ellipsoid rejection
+// and whitened slice fallback -- the algorithmic role of MultiNest
+// `run` (reference core/cmultinest.pxd:4-33) for one problem.
+static NsOut ns_run(const NfProblem& P, int nlive, double tol,
+                    long max_iter, uint64_t seed,
+                    double* bestfit /*ndim, may be null*/)
+{
+    const int D = P.ndim;
+    std::mt19937_64 rng(seed);
+    std::uniform_real_distribution<double> U(0.0, 1.0);
+    std::normal_distribution<double> N(0.0, 1.0);
+
+    std::vector<double> live((size_t)nlive * D), lnl(nlive);
+    long ncall = 0;
+    for (int k = 0; k < nlive; ++k) {
+        for (int d = 0; d < D; ++d) live[(size_t)k * D + d] = U(rng);
+        lnl[k] = loglike(P, &live[(size_t)k * D], &ncall);
+    }
+    double lnz = -INFINITY, h = 0.0;
+    double max_lnl_seen = -INFINITY;
+    std::vector<double> mean(D), cov((size_t)D * D), chol_((size_t)D * D);
+    std::vector<double> prop(D), zvec(D), start(D);
+    const double inv_l = 1.0 / nlive;
+    const double ln_comp = std::log1p(-std::exp(-inv_l));
+    long it = 0;
+    for (; it < max_iter; ++it) {
+        int worst = 0;
+        for (int k = 1; k < nlive; ++k) if (lnl[k] < lnl[worst]) worst = k;
+        const double lnl_star = lnl[worst];
+        const double lnw = -(double)it * inv_l + ln_comp;
+        const double lnzw = lnw + lnl_star;
+        const double lnz_new = logaddexp(lnz, lnzw);
+        if (std::isfinite(lnzw)) {
+            const double a = std::exp(lnzw - lnz_new);
+            const double b = std::exp(lnz - lnz_new);
+            h = a * lnl_star + b * (h + lnz) - lnz_new;
+            if (!std::isfinite(h)) h = 0.0;
+        }
+        lnz = lnz_new;
+        if (lnl_star > max_lnl_seen) max_lnl_seen = lnl_star;
+
+        // live mean/cov + Cholesky + max Mahalanobis radius
+        std::fill(mean.begin(), mean.end(), 0.0);
+        for (int k = 0; k < nlive; ++k)
+            for (int d = 0; d < D; ++d) mean[d] += live[(size_t)k * D + d];
+        for (int d = 0; d < D; ++d) mean[d] *= inv_l;
+        std::fill(cov.begin(), cov.end(), 0.0);
+        for (int k = 0; k < nlive; ++k)
+            for (int a2 = 0; a2 < D; ++a2)
+                for (int b2 = 0; b2 <= a2; ++b2)
+                    cov[(size_t)a2 * D + b2] +=
+                        (live[(size_t)k * D + a2] - mean[a2]) *
+                        (live[(size_t)k * D + b2] - mean[b2]);
+        for (int a2 = 0; a2 < D; ++a2)
+            for (int b2 = 0; b2 <= a2; ++b2) {
+                cov[(size_t)a2 * D + b2] =
+                    cov[(size_t)a2 * D + b2] * inv_l +
+                    (a2 == b2 ? 1e-10 : 0.0);
+                cov[(size_t)b2 * D + a2] = cov[(size_t)a2 * D + b2];
+            }
+        chol_ = cov;
+        const bool ok_chol = cholesky(chol_, D);
+        double rmax = 0.0;
+        if (ok_chol) {
+            for (int k = 0; k < nlive; ++k) {
+                // solve L z = (x - mean)
+                double r2 = 0.0;
+                for (int a2 = 0; a2 < D; ++a2) {
+                    double s = live[(size_t)k * D + a2] - mean[a2];
+                    for (int b2 = 0; b2 < a2; ++b2)
+                        s -= chol_[(size_t)a2 * D + b2] * zvec[b2];
+                    zvec[a2] = s / chol_[(size_t)a2 * D + a2];
+                    r2 += zvec[a2] * zvec[a2];
+                }
+                if (r2 > rmax) rmax = r2;
+            }
+            rmax = std::sqrt(rmax) * 1.1;
+        }
+
+        // replacement: ellipsoid rejection, then slice fallback
+        bool accepted = false;
+        double new_lnl = 0.0;
+        if (ok_chol) {
+            for (int t = 0; t < 64 && !accepted; ++t) {
+                double norm = 0.0;
+                for (int d = 0; d < D; ++d) { zvec[d] = N(rng); norm += zvec[d] * zvec[d]; }
+                norm = std::sqrt(norm);
+                const double r = std::pow(U(rng), 1.0 / D) * rmax / norm;
+                bool inb = true;
+                for (int a2 = 0; a2 < D; ++a2) {
+                    double s = 0.0;
+                    for (int b2 = 0; b2 <= a2; ++b2)
+                        s += chol_[(size_t)a2 * D + b2] * zvec[b2];
+                    prop[a2] = mean[a2] + r * s;
+                    if (prop[a2] < 0.0 || prop[a2] > 1.0) inb = false;
+                }
+                if (!inb) { ++ncall; continue; }
+                const double l = loglike(P, prop.data(), &ncall);
+                if (l > lnl_star) { accepted = true; new_lnl = l; }
+            }
+        }
+        if (!accepted) {
+            // whitened slice sampling from a random live point
+            int s0 = (int)(U(rng) * nlive) % nlive;
+            if (s0 == worst) s0 = (s0 + 1) % nlive;
+            std::copy(&live[(size_t)s0 * D], &live[(size_t)s0 * D] + D,
+                      start.begin());
+            double cur_lnl = lnl[s0];
+            for (int rep = 0; rep < 2 * D; ++rep) {
+                for (int d = 0; d < D; ++d) zvec[d] = N(rng);
+                std::vector<double> dir(D, 0.0);
+                for (int a2 = 0; a2 < D; ++a2)
+                    for (int b2 = 0; b2 <= a2; ++b2)
+                        dir[a2] += (ok_chol ? chol_[(size_t)a2 * D + b2]
+                                            : (a2 == b2 ? 0.1 : 0.0)) * zvec[b2];
+                double t_lo = -2.0 * U(rng);
+                double t_hi = t_lo + 2.0;
+                for (int c2 = 0; c2 < 16; ++c2) {
+                    const double t = t_lo + (t_hi - t_lo) * U(rng);
+                    bool inb = true;
+                    for (int d = 0; d < D; ++d) {
+                        prop[d] = start[d] + t * dir[d];
+                        if (prop[d] < 0.0 || prop[d] > 1.0) inb = false;
+                    }
+                    double l = -INFINITY;
+                    if (inb) l = loglike(P, prop.data(), &ncall);
+                    else ++ncall;
+                    if (l > lnl_star) {
+                        std::copy(prop.begin(), prop.end(), start.begin());
+                        cur_lnl = l;
+                        break;
+                    }
+                    if (t < 0) t_lo = t; else t_hi = t;
+                }
+            }
+            accepted = true;
+            new_lnl = cur_lnl;
+            std::copy(start.begin(), start.end(), prop.begin());
+        }
+        std::copy(prop.begin(), prop.end(), &live[(size_t)worst * D]);
+        lnl[worst] = new_lnl;
+
+        // termination
+        double lnl_max = lnl[0];
+        for (int k = 1; k < nlive; ++k) if (lnl[k] > lnl_max) lnl_max = lnl[k];
+        const double lnx = -(double)(it + 1) * inv_l;
+        if (logaddexp(lnz, lnx + lnl_max) - lnz < tol) { ++it; break; }
+    }
+    // add live points
+    const double lnx = -(double)it * inv_l;
+    int best_k = 0;
+    for (int k = 0; k < nlive; ++k) {
+        const double lnzw = lnx - std::log((double)nlive) + lnl[k];
+        const double lnz_new = logaddexp(lnz, lnzw);
+        const double a = std::exp(lnzw - lnz_new);
+        const double b = std::exp(lnz - lnz_new);
+        h = a * lnl[k] + b * (h + lnz) - lnz_new;
+        lnz = lnz_new;
+        if (lnl[k] > max_lnl_seen) max_lnl_seen = lnl[k];
+        if (lnl[k] > lnl[best_k]) best_k = k;
+    }
+    if (bestfit) {
+        std::vector<double> th(D);
+        if (P.kind == 0)
+            std::copy(&live[(size_t)best_k * D], &live[(size_t)best_k * D] + D,
+                      th.begin());
+        else
+            transform_theta(P, &live[(size_t)best_k * D], th.data());
+        std::copy(th.begin(), th.end(), bestfit);
+    }
+    NsOut out;
+    out.lnz = lnz;
+    out.h = std::max(h, 0.0);
+    out.lnz_err = std::sqrt(out.h * inv_l);
+    out.n_dead = it;
+    out.ncall = ncall;
+    out.max_loglike = max_lnl_seen;
+    return out;
+}
+
+// ---------------------------------------------------------------------------
+// C API
+// ---------------------------------------------------------------------------
+
+// Analytic isotropic-Gaussian problem (validation).
+void nf_ns_gaussian(int ndim, double sigma, int nlive, double tol,
+                    long max_iter, uint64_t seed, double* out6)
+{
+    NfProblem P;
+    P.kind = 0;
+    P.ndim = ndim;
+    P.ncomp = 1;
+    P.ppf = nullptr;
+    P.ppf_n = 0;
+    P.asigma = sigma;
+    NsOut o = ns_run(P, nlive, tol, max_iter, seed, nullptr);
+    out6[0] = o.lnz; out6[1] = o.lnz_err; out6[2] = o.h;
+    out6[3] = (double)o.n_dead; out6[4] = (double)o.ncall;
+    out6[5] = o.max_loglike;
+}
+
+// Spectral-model nested sampling run.
+//   kind: 1 ammonia, 2 gaussian mixture
+//   per transition arrays are concatenated with offsets.
+void nf_ns_spectral(
+    int kind, int ncomp, int n_params,
+    const double* ppf, int ppf_n,
+    int n_spec,
+    const double* xarr_cat, const double* t0_cat, const double* tbg_cat,
+    const double* data_cat, const int* n_chan, const double* nu,
+    const int* nhf, const double* hf_voff_cat, const double* hf_wts_cat,
+    const double* noise, const int* para, const int* level_n,
+    const double* ea, double brot, double crot,
+    int nlive, double tol, long max_iter, uint64_t seed,
+    double* out6, double* bestfit)
+{
+    NfProblem P;
+    P.kind = kind;
+    P.ncomp = ncomp;
+    P.ndim = n_params * ncomp;
+    P.ppf = ppf;
+    P.ppf_n = ppf_n;
+    P.brot = brot;
+    P.crot = crot;
+    int max_chan = 0;
+    long ch_off = 0, hf_off = 0;
+    for (int s = 0; s < n_spec; ++s) {
+        NfSpectrum sp;
+        sp.xarr = xarr_cat + ch_off;
+        sp.t0 = t0_cat + ch_off;
+        sp.tbg = tbg_cat + ch_off;
+        sp.data = data_cat + ch_off;
+        sp.n_chan = n_chan[s];
+        sp.nu = nu[s];
+        sp.nhf = nhf[s];
+        sp.hf_voff = hf_voff_cat + hf_off;
+        sp.hf_wts = hf_wts_cat + hf_off;
+        sp.noise = noise[s];
+        sp.para = para ? para[s] : 0;
+        sp.level_n = level_n ? level_n[s] : 0;
+        sp.ea = ea ? ea[s] : 0.0;
+        P.spectra.push_back(sp);
+        ch_off += n_chan[s];
+        hf_off += nhf[s];
+        if (n_chan[s] > max_chan) max_chan = n_chan[s];
+    }
+    P.tau_scratch.resize(max_chan);
+    P.pred_scratch.resize(max_chan);
+    P.theta_scratch.resize(P.ndim);
+    NsOut o = ns_run(P, nlive, tol, max_iter, seed, bestfit);
+    out6[0] = o.lnz; out6[1] = o.lnz_err; out6[2] = o.h;
+    out6[3] = (double)o.n_dead; out6[4] = (double)o.ncall;
+    out6[5] = o.max_loglike;
+}
+
+// Direct model evaluation (for kernel cross-validation): ammonia.
+void nf_amm_predict(
+    const double* xarr, const double* t0, const double* tbg, int n_chan,
+    double nu, int nhf, const double* hf_voff, const double* hf_wts,
+    int para, int level_n, double ea, double brot, double crot,
+    const double* params, int ncomp, double* pred)
+{
+    std::vector<double> tau(n_chan);
+    std::fill(pred, pred + n_chan, 0.0);
+    for (int c = 0; c < ncomp; ++c) {
+        const double voff = params[0 * ncomp + c];
+        const double trot = params[1 * ncomp + c];
+        const double tex = params[2 * ncomp + c];
+        const double ntot = params[3 * ncomp + c];
+        const double sigm = params[4 * ncomp + c];
+        const double orth = params[5 * ncomp + c];
+        const double tm = nf_amm_tau_main(trot, tex, ntot, sigm, orth,
+                                          para, level_n, brot, crot, nu, ea);
+        nf_hf_predict_comp(xarr, t0, tbg, n_chan, nu, nhf, hf_voff, hf_wts,
+                           voff, tex, tm, sigm, tau.data(), pred);
+    }
+}
+
+}  // extern "C"

@@ -1,0 +1,179 @@
+"""ctypes bindings for the native C++ engine (cpp/nestfit_native.cpp).
+
+Auto-builds the shared library on first use (g++ via the Makefile);
+every entry point degrades gracefully when no compiler is available
+(``available()`` -> False).
+"""
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+from nestfit_tpu.constants import H, KB, TCMB
+from nestfit_tpu.models.ammonia import BROT, CROT
+from nestfit_tpu.models.tables import AMMONIA_TRANSITIONS
+
+_CPP_DIR = Path(__file__).resolve().parents[2] / "cpp"
+_LIB_PATH = _CPP_DIR / "libnestfit_native.so"
+_LIB = None
+_TRIED = False
+
+_D = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
+_I = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
+
+
+def _load():
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    if not _LIB_PATH.exists():
+        try:
+            subprocess.run(
+                ["make", "-C", str(_CPP_DIR)], check=True,
+                capture_output=True, timeout=120,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except OSError:
+        return None
+    lib.nf_ns_gaussian.argtypes = [
+        ctypes.c_int, ctypes.c_double, ctypes.c_int, ctypes.c_double,
+        ctypes.c_long, ctypes.c_uint64, _D,
+    ]
+    lib.nf_ns_spectral.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        _D, ctypes.c_int,
+        ctypes.c_int,
+        _D, _D, _D, _D, _I, _D,
+        _I, _D, _D,
+        _D, _I, _I, _D, ctypes.c_double, ctypes.c_double,
+        ctypes.c_int, ctypes.c_double, ctypes.c_long, ctypes.c_uint64,
+        _D, _D,
+    ]
+    lib.nf_amm_predict.argtypes = [
+        _D, _D, _D, ctypes.c_int,
+        ctypes.c_double, ctypes.c_int, _D, _D,
+        ctypes.c_int, ctypes.c_int, ctypes.c_double,
+        ctypes.c_double, ctypes.c_double,
+        _D, ctypes.c_int, _D,
+    ]
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def ns_gaussian(ndim, sigma, nlive=200, tol=0.1, max_iter=100000, seed=0):
+    """Sequential C++ nested sampling on the analytic Gaussian problem.
+
+    Returns dict with lnz, lnz_err, h, n_dead, ncall, max_loglike.
+    """
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    out = np.zeros(6)
+    lib.nf_ns_gaussian(ndim, sigma, nlive, tol, max_iter, seed, out)
+    return dict(zip(
+        ["lnz", "lnz_err", "h", "n_dead", "ncall", "max_loglike"], out
+    ))
+
+
+def _chan_terms(xarr):
+    xarr = np.ascontiguousarray(xarr, dtype=np.float64)
+    t0 = H * xarr / KB
+    tbg = 1.0 / np.expm1(t0 / TCMB)
+    return xarr, t0, tbg
+
+
+def ppf_tables_from_utrans(utrans, ncomp, n=2001):
+    """Independent per-dimension PPF tables approximating a
+    PriorTransformer (exact for independent priors; joint priors are
+    marginalized -- adequate for the CPU baseline / agreement checks
+    when using simple priors)."""
+    import jax.numpy as jnp
+
+    u = np.linspace(0.0, 1.0, n)
+    ndim = utrans.n_param * ncomp
+    tabs = np.zeros((ndim, n))
+    for i, ui in enumerate(u):
+        cube = np.full((ndim,), ui)
+        theta = np.asarray(utrans.transform(jnp.asarray(cube), ncomp))
+        tabs[:, i] = theta
+    return np.ascontiguousarray(tabs)
+
+
+def ns_spectral_ammonia(spectra_data, ppf, ncomp=1, nlive=100, tol=1.0,
+                        max_iter=200000, seed=0):
+    """Sequential C++ ammonia fit.
+
+    spectra_data: list of (xarr, data, noise, trans_id).
+    ppf: [6*ncomp, N] per-dimension PPF tables.
+    """
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    xarr_cat, t0_cat, tbg_cat, data_cat = [], [], [], []
+    n_chan, nu, nhf, voff_cat, wts_cat = [], [], [], [], []
+    noise_l, para, level_n, ea = [], [], [], []
+    for (xarr, data, noise, tid) in spectra_data:
+        t = AMMONIA_TRANSITIONS[tid - 1]
+        xa, t0, tbg = _chan_terms(xarr)
+        xarr_cat.append(xa)
+        t0_cat.append(t0)
+        tbg_cat.append(tbg)
+        data_cat.append(np.ascontiguousarray(data, dtype=np.float64))
+        n_chan.append(xa.shape[0])
+        nu.append(t.nu)
+        nhf.append(t.nhf)
+        voff_cat.append(t.voff)
+        wts_cat.append(t.tau_wts)
+        noise_l.append(float(noise))
+        para.append(1 if t.para else 0)
+        level_n.append(t.n)
+        ea.append(t.ea)
+    out = np.zeros(6)
+    bestfit = np.zeros(6 * ncomp)
+    lib.nf_ns_spectral(
+        1, ncomp, 6,
+        np.ascontiguousarray(ppf, dtype=np.float64), ppf.shape[1],
+        len(spectra_data),
+        np.concatenate(xarr_cat), np.concatenate(t0_cat),
+        np.concatenate(tbg_cat), np.concatenate(data_cat),
+        np.asarray(n_chan, dtype=np.int32),
+        np.asarray(nu, dtype=np.float64),
+        np.asarray(nhf, dtype=np.int32),
+        np.concatenate(voff_cat), np.concatenate(wts_cat),
+        np.asarray(noise_l, dtype=np.float64),
+        np.asarray(para, dtype=np.int32),
+        np.asarray(level_n, dtype=np.int32),
+        np.asarray(ea, dtype=np.float64),
+        BROT, CROT,
+        nlive, tol, max_iter, seed,
+        out, bestfit,
+    )
+    res = dict(zip(
+        ["lnz", "lnz_err", "h", "n_dead", "ncall", "max_loglike"], out
+    ))
+    res["bestfit"] = bestfit
+    return res
+
+
+def amm_predict_native(xarr, params, trans_id=1):
+    """Native ammonia spectrum prediction (independent C++ path)."""
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    t = AMMONIA_TRANSITIONS[trans_id - 1]
+    xa, t0, tbg = _chan_terms(xarr)
+    params = np.ascontiguousarray(params, dtype=np.float64)
+    ncomp = params.shape[0] // 6
+    pred = np.zeros_like(xa)
+    lib.nf_amm_predict(
+        xa, t0, tbg, xa.shape[0], t.nu, t.nhf, t.voff, t.tau_wts,
+        1 if t.para else 0, t.n, t.ea, BROT, CROT, params, ncomp, pred,
+    )
+    return pred

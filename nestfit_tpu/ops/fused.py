@@ -111,9 +111,12 @@ def hf_chi2_fused(trans: Transition, dnu, t0, tbg, data,
                 d = dnu_v - rel_nucen
                 tau = tau + (tau0_c * w_j) * jnp.exp(-(d * d) * idenom)
             tex_c = tex_ref[:, c][:, None]
-            iemtex = 1.0 / jnp.expm1(t0_ref[:] / tex_c)
+            # expm1 is not lowered by Mosaic; the plain forms lose no
+            # precision at these argument ranges (t0/tex ~ 0.1-0.5,
+            # tau >= 0)
+            iemtex = 1.0 / (jnp.exp(t0_ref[:] / tex_c) - 1.0)
             pred = pred + t0_ref[:] * (iemtex - tbg_ref[:]) * (
-                -jnp.expm1(-tau)
+                1.0 - jnp.exp(-tau)
             )
         dev = data_ref[:] - pred
         out_ref[:] = jnp.sum(dev * dev, axis=1, keepdims=True)

@@ -79,7 +79,8 @@ class NSConfig:
     cov_reg: float = 1e-10        # covariance diagonal regularizer
     ell_fudge: float = 1.1        # ellipsoid enlargement over max Mahalanobis
     ell_cands: int = 8            # parallel candidates per rejection round
-    ell_tries: int = 3            # rejection rounds before slice fallback
+    ell_tries: int = 8            # rejection rounds before slice fallback
+    fallback_repeats: int = 0     # slice steps for stragglers; 0 -> ndim
     init_chunk: int = 32          # live-point chunk for the init evals
 
     def resolved(self, ndim: int) -> "NSConfig":
@@ -387,10 +388,12 @@ def ns_segment(state: _State, loglike2, data, cfg: NSConfig,
 
             # stragglers (rare): full slice chain, skipped entirely
             # when every run accepted
+            n_fall = cfg.fallback_repeats or D
+
             def fallback(args):
                 x, lnl_x, ncall, key, acc = args
                 x, lnl_x, ncall, _ = slice_chain(
-                    x, lnl_x, ncall, key, ~acc, cfg.n_repeats
+                    x, lnl_x, ncall, key, ~acc, n_fall
                 )
                 return x, lnl_x, ncall
 
