@@ -57,6 +57,32 @@ class PosteriorProducts:
     std_params: jax.Array       # [R, D]
 
 
+def _chunked_transform(transform, u_all, chunk=256):
+    """Apply the prior transform over ``u_all[R, N, D]`` in bounded
+    sample chunks.
+
+    The transform of some priors (``ResolvedPlacementPrior``'s
+    ``cdf_over_interval``, reference core.pyx:109-161) materializes
+    grid-sized intermediates per evaluated point; at full dead+live
+    sample counts (N ~ max_iter + nlive) a single dense call would
+    allocate tens of GB.  ``lax.map`` over fixed-size chunks keeps the
+    peak footprint at ``R * chunk * grid`` while tracing the transform
+    body once.
+    """
+    R, N, D = u_all.shape
+    chunk = min(chunk, N)
+    n_pad = (-N) % chunk
+    if n_pad:
+        u_all = jnp.pad(
+            u_all, ((0, 0), (0, n_pad), (0, 0)), constant_values=0.5
+        )
+    k = (N + n_pad) // chunk
+    uc = jnp.swapaxes(u_all.reshape(R, k, chunk, D), 0, 1)  # [k, R, c, D]
+    th = jax.lax.map(transform, uc)
+    th = jnp.swapaxes(th, 0, 1).reshape(R, N + n_pad, D)
+    return th[:, :N, :]
+
+
 def _weighted_quantiles(theta, lnp, qs):
     """Weighted quantiles along the sample axis.
 
@@ -99,7 +125,7 @@ def posterior_products(
     lnp = jnp.where(lnl_all > _NEG / 2, lnw_all + lnl_all, _NEG)
     lnp = lnp - jax.scipy.special.logsumexp(lnp, axis=1, keepdims=True)
 
-    theta_all = transform(u_all)                    # [R, N, D]
+    theta_all = _chunked_transform(transform, u_all)  # [R, N, D]
 
     # --- marginals: weighted quantiles per parameter
     qs = jnp.asarray(quantiles, dtype=theta_all.dtype)

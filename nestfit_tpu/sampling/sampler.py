@@ -1,25 +1,42 @@
-"""Vectorized nested sampler.
+"""Vectorized batched-kill nested sampler.
 
 TPU-native replacement for the external MultiNest Fortran library the
 reference links against (reference: core/cmultinest.pxd:4-33,
 core/core.pyx:727-823).  Instead of one sequential sampler per pixel
 driven by callbacks, a *batch* of R independent nested-sampling runs
-(one per pixel) advances in lockstep on device:
+(one per pixel) advances in lockstep on device.
 
-* live points are a ``[R, nlive, ndim]`` matrix in the unit cube;
-* each iteration records every run's worst live point as a dead point,
-  accumulates the evidence with the standard deterministic
-  prior-volume compression ``X_i = exp(-i/nlive)``, and replaces the
-  worst point with a new draw above the likelihood threshold;
-* replacement uses MultiNest-style bounding-ellipsoid rejection with
-  parallel candidates (fast path) or whitened random-direction slice
-  sampling with stepping-out/shrinkage (robust path; also the fallback
-  when rejection fails), both free of data-dependent shapes so they
-  vmap/shard cleanly;
-* per-run termination follows the remaining-evidence criterion
-  ``logaddexp(lnZ, lnX + max lnL_live) - lnZ < tol`` (the role of
-  MultiNest's ``tol``, core.pyx:752-753); finished runs freeze via
-  masking until the whole batch is done.
+The sampler uses **batched deletion**: each fill-cycle removes the
+``kill_k`` worst live points of a run at once and replaces all of them
+with draws above the frozen threshold ``L_(k)`` (the k-th smallest
+live likelihood).  This is the standard vectorized-NS formulation:
+with all replacements constrained above ``L_(k)``, removing the k
+worst is a single valid NS compression step, and the per-death prior
+volumes follow the order statistics of uniforms -- death j (0-based
+rank within its batch) compresses ``ln X`` by ``1/(nlive - j)``
+exactly, which the implementation bakes into static weight tables.
+For ``kill_k=1`` this reduces to classic single-kill NS with
+``X_i = exp(-i/nlive)``.
+
+Why batched deletion on TPU: one fill-cycle needs ~``kill_k`` accepted
+proposals, so candidates are drawn and evaluated as one large
+``[T, R, ndim]`` batch per iteration -- a single fused
+transform+predict+chi2 launch that keeps the MXU busy -- instead of
+many tiny sequential proposal rounds.  Replacement draws come from a
+bounding-ellipsoid rejection proposal (mean/cov of the live set,
+radius set by the max Mahalanobis distance times ``ell_fudge``); runs
+that stall (pathological contour shapes) fall back to whitened
+random-direction slice sampling with stepping-out/shrinkage, which is
+correct for any contour.
+
+Per-run termination follows the remaining-evidence criterion
+``logaddexp(lnZ, lnX + max lnL_live) - lnZ < tol`` (the role of
+MultiNest's ``tol``, core.pyx:752-753); finished runs freeze via
+masking.  The host-driven segmented mode additionally *compacts*
+stragglers: when most runs in the batch have finished, the unfinished
+rows are gathered into a smaller power-of-two batch so the tail does
+not pay full-batch compute (the lockstep analogue of MultiNest runs
+simply ending at different times).
 
 Numerics: log-likelihoods are shifted per run by the initial live-point
 maximum so float32 ``logaddexp`` accumulation keeps ~1e-5 absolute
@@ -63,37 +80,76 @@ class NSConfig:
     Maps onto the MultiNest knob set the reference exposes
     (core.pyx:727-776): ``nlive`` and ``tol`` are the same quantities;
     ``efr``'s role (proposal aggressiveness) is covered by
-    ``ell_fudge``/``ell_cands``; ellipsoidal mode-separation knobs have
-    no analogue (a single conservative bound plus the slice fallback
-    covers multimodality at an efficiency, not correctness, cost).
+    ``ell_fudge``/``cand_factor``.  ``kill_k`` is the batched-deletion
+    width (no MultiNest analogue; it trades iteration count for
+    per-iteration batch size on the MXU).
     """
 
     nlive: int = 100
     tol: float = 1.0              # remaining-evidence termination (dlogz)
-    max_iter: int = 0             # 0 -> auto: 60 * nlive
+    max_iter: int = 0             # max deaths per run; 0 -> auto: 120 * nlive
     method: str = "ellipsoid"     # "ellipsoid" (fast) or "slice" (robust)
+    kill_k: int = 0               # points killed per fill-cycle; 0 -> auto
+    cand_factor: int = 2          # proposal candidates per kill slot
+    stall_limit: int = 6          # zero-progress iters before slice fallback
     n_repeats: int = 0            # slice steps per replacement; 0 -> 2*ndim
     max_expand: int = 4           # stepping-out rounds per slice step
     max_contract: int = 12        # shrinkage rounds per slice step
     step_scale: float = 2.0       # initial slice width (whitened units)
     cov_reg: float = 1e-10        # covariance diagonal regularizer
     ell_fudge: float = 1.1        # ellipsoid enlargement over max Mahalanobis
-    ell_cands: int = 8            # parallel candidates per rejection round
-    ell_tries: int = 8            # rejection rounds before slice fallback
-    fallback_repeats: int = 0     # slice steps for stragglers; 0 -> ndim
+    ell_cands: int = 0            # legacy alias: overrides cand_factor*kill_k
+    ell_tries: int = 8            # retained for API compat (unused)
+    fallback_repeats: int = 0     # slice steps for stragglers; 0 -> 2
     init_chunk: int = 32          # live-point chunk for the init evals
+    min_compact: int = 32        # smallest compacted batch (segmented mode)
 
     def resolved(self, ndim: int) -> "NSConfig":
-        max_iter = self.max_iter if self.max_iter > 0 else 60 * self.nlive
+        max_iter = self.max_iter if self.max_iter > 0 else 120 * self.nlive
         n_repeats = self.n_repeats if self.n_repeats > 0 else 2 * ndim
-        return dataclasses.replace(self, max_iter=max_iter, n_repeats=n_repeats)
+        if self.method == "slice":
+            kill_k = 1
+        elif self.kill_k > 0:
+            kill_k = min(self.kill_k, self.nlive // 2)
+        else:
+            # kill a quarter of the live set per fill-cycle: sequential
+            # depth per information nat is ~(nlive/kill_k), so a large
+            # fixed fraction keeps the device busy with wide candidate
+            # batches instead of many tiny sequential proposal rounds
+            kill_k = max(1, self.nlive // 4)
+        return dataclasses.replace(
+            self, max_iter=max_iter, n_repeats=n_repeats, kill_k=kill_k
+        )
+
+    def n_cand(self) -> int:
+        """Proposal candidates per iteration (requires resolved cfg)."""
+        if self.ell_cands > 0:
+            return self.ell_cands
+        return max(1, self.cand_factor * self.kill_k)
+
+
+def _weight_tables(nlive: int, kill_k: int, max_iter: int):
+    """Static per-death compression tables.
+
+    Death ``t`` (0-based, per run) has within-batch rank ``t % kill_k``
+    and compresses ``ln X`` by ``d(t) = 1/(nlive - t % kill_k)`` (order
+    statistics of the k-th worst of ``nlive`` uniform prior-volume
+    draws).  Returns ``LNX[max_iter + 1]`` (ln volume after t deaths)
+    and ``LNW[max_iter]`` (ln of the volume element assigned to death
+    t: ``ln(X_t - X_{t+1})``).
+    """
+    d = 1.0 / (nlive - (np.arange(max_iter) % kill_k))
+    lnx = np.concatenate([[0.0], -np.cumsum(d)])
+    lnw = lnx[:-1] + np.log1p(-np.exp(-d))
+    return lnx, lnw
 
 
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=[
         "key", "u", "lnl", "lnl_shift", "lnz", "done", "converged",
-        "n_dead", "ncall", "dead_u", "dead_lnl", "i",
+        "n_deaths", "pending", "thresh", "zombie", "stall", "ncall",
+        "dead_u", "dead_lnl", "i",
     ],
     meta_fields=[],
 )
@@ -106,7 +162,11 @@ class _State:
     lnz: jax.Array        # [R] shifted accumulated evidence
     done: jax.Array       # [R] bool
     converged: jax.Array  # [R] bool (terminated by tol, not max_iter)
-    n_dead: jax.Array     # [R] iterations completed when run finished
+    n_deaths: jax.Array   # [R] deaths recorded so far
+    pending: jax.Array    # [R] kill slots awaiting replacement
+    thresh: jax.Array     # [R] frozen acceptance threshold (shifted)
+    zombie: jax.Array     # [R, L] slots holding recorded-dead points
+    stall: jax.Array      # [R] consecutive zero-progress iterations
     ncall: jax.Array      # [R] likelihood evaluations
     dead_u: jax.Array     # [R, max_iter, D]
     dead_lnl: jax.Array   # [R, max_iter]
@@ -228,7 +288,7 @@ def _shrink_step(loglike2, data, shift, x0, lnl0, dirv, lnl_star, done, cfg):
             sh_cond, sh_body,
             (jnp.int32(0), k_shrink, t_lo, t_hi, x0, lnl0, acc0, ncall),
         )
-        return x, lnl, ncall
+        return x, lnl, acc, ncall
 
     return make
 
@@ -263,7 +323,11 @@ def ns_init(key, loglike2, data, ndim: int, n_runs: int, cfg: NSConfig,
         lnz=jnp.full((R,), _NEG, dtype=dtype),
         done=jnp.zeros((R,), dtype=bool),
         converged=jnp.zeros((R,), dtype=bool),
-        n_dead=jnp.full((R,), cfg.max_iter, dtype=jnp.int32),
+        n_deaths=jnp.zeros((R,), dtype=jnp.int32),
+        pending=jnp.zeros((R,), dtype=jnp.int32),
+        thresh=jnp.full((R,), _NEG, dtype=dtype),
+        zombie=jnp.zeros((R, L), dtype=bool),
+        stall=jnp.zeros((R,), dtype=jnp.int32),
         ncall=jnp.full((R,), L, dtype=jnp.int32),
         dead_u=jnp.zeros((R, cfg.max_iter, D), dtype=dtype),
         dead_lnl=jnp.full((R, cfg.max_iter), _NEG, dtype=dtype),
@@ -273,167 +337,216 @@ def ns_init(key, loglike2, data, ndim: int, n_runs: int, cfg: NSConfig,
 
 def ns_segment(state: _State, loglike2, data, cfg: NSConfig,
                seg_end) -> _State:
-    """Advance all runs until ``i >= seg_end`` or every run is done."""
+    """Advance all runs until ``i >= seg_end`` or every run is done.
+
+    One iteration of the loop body = one kill/record step (for runs
+    whose previous fill-cycle completed) + one proposal round (a single
+    batched candidate evaluation) + fills + termination checks.
+    """
     R, L, D = state.u.shape
     cfg = cfg.resolved(D)
     dtype = state.u.dtype
-    inv_l = 1.0 / L
-    ln_comp = float(np.log1p(-np.exp(-inv_l)))
+    K = cfg.kill_k
+    T = cfg.n_cand()
+    max_iter = cfg.max_iter
+    lnx_tab_np, lnw_tab_np = _weight_tables(L, K, max_iter)
+    lnx_tab = jnp.asarray(lnx_tab_np, dtype=dtype)
+    lnw_tab = jnp.asarray(lnw_tab_np, dtype=dtype)
     rr = jnp.arange(R)
-    seg_end = jnp.minimum(jnp.asarray(seg_end, jnp.int32), cfg.max_iter)
+    seg_end = jnp.asarray(seg_end, jnp.int32)
 
     def cond(s: _State):
         return (~jnp.all(s.done)) & (s.i < seg_end)
 
     def body(s: _State):
         shift = s.lnl_shift
-        worst = jnp.argmin(s.lnl, axis=1)                      # [R]
-        lnl_star = s.lnl[rr, worst]                            # [R]
-        u_worst = s.u[rr, worst]                               # [R, D]
 
-        # record dead point (positions beyond a finished run's n_dead
-        # are ignored downstream)
-        zero = jnp.int32(0)
-        dead_u = lax.dynamic_update_slice(
-            s.dead_u, u_worst[:, None, :], (zero, s.i, zero)
+        # ---- 1. kill/record: runs whose fill-cycle completed ----
+        need_kill = (~s.done) & (s.pending == 0)
+        neg_vals, worst_idx = lax.top_k(-s.lnl, K)             # [R, K]
+        kill_lnl = -neg_vals                                   # ascending
+        thresh_new = kill_lnl[:, -1]                           # k-th smallest
+        kill_u = jnp.take_along_axis(s.u, worst_idx[..., None], axis=1)
+        pos = s.n_deaths[:, None] + jnp.arange(K)              # [R, K]
+        ok_w = need_kill[:, None] & (pos < max_iter)
+        pos_w = jnp.where(ok_w, pos, max_iter)                 # OOB -> drop
+        rrk = jnp.broadcast_to(rr[:, None], (R, K))
+        dead_u = s.dead_u.at[rrk, pos_w].set(kill_u, mode="drop")
+        dead_lnl = s.dead_lnl.at[rrk, pos_w].set(kill_lnl, mode="drop")
+        lnw_k = lnw_tab[jnp.clip(pos, 0, max_iter - 1)]        # [R, K]
+        contrib = jax.scipy.special.logsumexp(
+            jnp.where(ok_w, lnw_k + kill_lnl, _NEG), axis=1
         )
-        dead_lnl = lax.dynamic_update_slice(
-            s.dead_lnl,
-            jnp.where(s.done, s.dead_lnl[:, s.i], lnl_star)[:, None],
-            (zero, s.i),
+        lnz = jnp.where(need_kill, jnp.logaddexp(s.lnz, contrib), s.lnz)
+        n_deaths = jnp.where(
+            need_kill, jnp.minimum(s.n_deaths + K, max_iter), s.n_deaths
         )
+        pending = jnp.where(need_kill, K, s.pending)
+        zmb_idx = jnp.where(need_kill[:, None], worst_idx, L)
+        zombie = s.zombie.at[rrk, zmb_idx].set(True, mode="drop")
+        thresh = jnp.where(need_kill, thresh_new, s.thresh)
 
-        # evidence update: w_i = X_{i-1} - X_i, X_i = exp(-i/L)
-        lnw = -s.i.astype(dtype) * inv_l + ln_comp
-        lnz_new = jnp.logaddexp(s.lnz, lnw + lnl_star)
-        lnz_new = jnp.where(s.done, s.lnz, lnz_new)
+        # ---- 2. proposals: one batched candidate launch ----
+        active = (~s.done) & (pending > 0)
+        key, k_dir, k_rad, k_fall = random.split(s.key, 4)
 
-        # --- replacement proposals
-        key, k_start, k_prop = random.split(s.key, 3)
         mean = jnp.mean(s.u, axis=1)                           # [R, D]
         du = s.u - mean[:, None, :]
         cov = jnp.einsum("rld,rle->rde", du, du) / L
         cov = cov + cfg.cov_reg * jnp.eye(D, dtype=dtype)
         chol = jnp.linalg.cholesky(cov)                        # [R, D, D]
 
-        start = random.randint(k_start, (R,), 0, L)
-        start = jnp.where(start == worst, (start + 1) % L, start)
-        x = s.u[rr, start]
-        lnl_x = s.lnl[rr, start]
-
         def clipped_eval(xp):
             xq = jnp.clip(xp, 0.0, 1.0)
             inb = jnp.all((xp >= 0.0) & (xp <= 1.0), axis=-1)
             return jnp.where(inb, loglike2(xq, data) - shift, _NEG)
 
-        def slice_chain(x, lnl_x, ncall, key, active, n_repeats):
-            def repeat_body(j, carry):
-                x, lnl_x, ncall, key = carry
-                key, k_dir, k_step = random.split(key, 3)
-                nvec = random.normal(k_dir, (R, D), dtype=dtype)
-                dirv = jnp.einsum("rde,re->rd", chol, nvec)
-                step = _shrink_step(
-                    loglike2, data, shift, x, lnl_x, dirv, lnl_star,
-                    s.done | ~active, cfg,
-                )
-                xn, lnln, nc = step(k_step)
-                x = jnp.where(active[:, None], xn, x)
-                lnl_x = jnp.where(active, lnln, lnl_x)
-                return x, lnl_x, ncall + nc, key
-
-            return lax.fori_loop(
-                0, n_repeats, repeat_body, (x, lnl_x, ncall, key)
-            )
+        # zombie slots first (stable sort on ~zombie: False < True)
+        zorder = jnp.argsort(~zombie, axis=1, stable=True)     # [R, L]
 
         if cfg.method == "ellipsoid":
-            T = cfg.ell_cands
             dz = jax.scipy.linalg.solve_triangular(
                 chol, jnp.swapaxes(du, 1, 2), lower=True
             )                                                   # [R, D, L]
             rmax = jnp.sqrt(jnp.max(jnp.sum(dz * dz, axis=1), axis=1))
             rmax = rmax * cfg.ell_fudge                         # [R]
-
-            def rej_cond(carry):
-                j, key, x, lnl_x, acc, ncall = carry
-                return (j < cfg.ell_tries) & jnp.any(~(acc | s.done))
-
-            def rej_body(carry):
-                j, key, x, lnl_x, acc, ncall = carry
-                key, k_dir, k_rad = random.split(key, 3)
-                y = random.normal(k_dir, (T, R, D), dtype=dtype)
-                y = y / jnp.linalg.norm(y, axis=-1, keepdims=True)
-                r = random.uniform(k_rad, (T, R), dtype=dtype) ** (1.0 / D)
-                z = (rmax * r)[..., None] * y
-                xp = mean + jnp.einsum("rde,tre->trd", chol, z)
-                lnlp = clipped_eval(xp)                         # [T, R]
-                ok = lnlp > lnl_star
-                first = jnp.argmax(ok, axis=0)                  # [R]
-                any_ok = jnp.any(ok, axis=0)
-                xb = jnp.take_along_axis(
-                    xp, first[None, :, None], axis=0
-                )[0]
-                lnlb = jnp.take_along_axis(lnlp, first[None, :], axis=0)[0]
-                newly = any_ok & ~acc
-                x = jnp.where(newly[:, None], xb, x)
-                lnl_x = jnp.where(newly, lnlb, lnl_x)
-                ncall = ncall + jnp.where(s.done, 0, T)
-                return j + 1, key, x, lnl_x, acc | any_ok, ncall
-
-            k_rej, k_fall = random.split(k_prop)
-            acc0 = jnp.zeros((R,), dtype=bool)
-            _, _, x, lnl_x, acc, ncall = lax.while_loop(
-                rej_cond, rej_body,
-                (jnp.int32(0), k_rej, x, lnl_x, acc0, s.ncall),
-            )
-
-            # stragglers (rare): full slice chain, skipped entirely
-            # when every run accepted
-            n_fall = cfg.fallback_repeats or D
-
-            def fallback(args):
-                x, lnl_x, ncall, key, acc = args
-                x, lnl_x, ncall, _ = slice_chain(
-                    x, lnl_x, ncall, key, ~acc, n_fall
-                )
-                return x, lnl_x, ncall
-
-            x, lnl_x, ncall = lax.cond(
-                jnp.any(~(acc | s.done)),
-                fallback,
-                lambda args: (args[0], args[1], args[2]),
-                (x, lnl_x, ncall, k_fall, acc),
-            )
+            y = random.normal(k_dir, (T, R, D), dtype=dtype)
+            y = y / jnp.linalg.norm(y, axis=-1, keepdims=True)
+            rad = random.uniform(k_rad, (T, R), dtype=dtype) ** (1.0 / D)
+            z = (rmax * rad)[..., None] * y
+            cand = mean + jnp.einsum("rde,tre->trd", chol, z)   # [T, R, D]
+            cand_lnl = clipped_eval(cand)                       # [T, R]
+            okc = (cand_lnl > thresh) & active[None, :]
+            n_eval = T
         else:
-            x, lnl_x, ncall, _ = slice_chain(
-                x, lnl_x, s.ncall, k_prop,
-                jnp.ones((R,), dtype=bool), cfg.n_repeats,
+            # slice method: one slice chain per run yields one
+            # guaranteed-accepted candidate (kill_k == 1)
+            nz_cnt = jnp.maximum(L - pending, 1)
+            jsel = random.randint(k_rad, (R,), 0, 1 << 30)
+            sel = jnp.take_along_axis(
+                zorder, (L - 1 - (jsel % nz_cnt))[:, None], axis=1
+            )[:, 0]
+            x0 = s.u[rr, sel]
+            lnl0 = jnp.take_along_axis(s.lnl, sel[:, None], axis=1)[:, 0]
+
+            def repeat_body(j, carry):
+                x, lnl_x, ncall, key = carry
+                key, kd, ks = random.split(key, 3)
+                nvec = random.normal(kd, (R, D), dtype=dtype)
+                dirv = jnp.einsum("rde,re->rd", chol, nvec)
+                step = _shrink_step(
+                    loglike2, data, shift, x, lnl_x, dirv, thresh,
+                    ~active, cfg,
+                )
+                xn, lnln, acc, nc = step(ks)
+                x = jnp.where((active & acc)[:, None], xn, x)
+                lnl_x = jnp.where(active & acc, lnln, lnl_x)
+                return x, lnl_x, ncall + nc, key
+
+            zero_nc = jnp.zeros((R,), dtype=jnp.int32)
+            x, lnl_x, nc, _ = lax.fori_loop(
+                0, cfg.n_repeats, repeat_body, (x0, lnl0, zero_nc, k_dir)
             )
+            cand = x[None]                                      # [1, R, D]
+            cand_lnl = lnl_x[None]
+            okc = (cand_lnl > thresh) & active[None, :]
+            n_eval = 0  # counted inside the shrink steps
+            s = dataclasses.replace(s, ncall=s.ncall + nc)
 
-        # replace worst live point (frozen for finished runs)
-        u_new = s.u.at[rr, worst].set(
-            jnp.where(s.done[:, None], u_worst, x)
-        )
-        lnl_new = s.lnl.at[rr, worst].set(
-            jnp.where(s.done, lnl_star, lnl_x)
+        # ---- 3. fill zombie slots with accepted candidates ----
+        rank = jnp.cumsum(okc, axis=0, dtype=jnp.int32)         # [T', R]
+        use = okc & (rank <= pending[None, :])
+        Tc = cand.shape[0]
+        rrt = jnp.broadcast_to(rr[None, :], (Tc, R))
+        slot = jnp.take_along_axis(
+            zorder, jnp.swapaxes(jnp.clip(rank - 1, 0, L - 1), 0, 1),
+            axis=1,
+        )                                                       # [R, T']
+        slot = jnp.swapaxes(slot, 0, 1)                         # [T', R]
+        slot_w = jnp.where(use, slot, L)
+        u_new = s.u.at[rrt, slot_w].set(cand, mode="drop")
+        lnl_new = s.lnl.at[rrt, slot_w].set(cand_lnl, mode="drop")
+        zombie = zombie.at[rrt, slot_w].set(False, mode="drop")
+        n_take = jnp.sum(use, axis=0, dtype=jnp.int32)
+        pending = pending - n_take
+        ncall = s.ncall + jnp.where(active, n_eval, 0)
+        stall = jnp.where(
+            active & (n_take == 0) & (pending > 0), s.stall + 1, 0
         )
 
-        # termination: remaining evidence below tol
-        lnx_next = -(s.i + 1).astype(dtype) * inv_l
-        lnl_max = jnp.max(lnl_new, axis=1)
-        dlogz = jnp.logaddexp(lnz_new, lnx_next + lnl_max) - lnz_new
+        # ---- 4. stall fallback: slice sampling for stuck runs ----
+        stalled = (~s.done) & (pending > 0) & (stall >= cfg.stall_limit)
+        n_fall = cfg.fallback_repeats or 2
+
+        def fallback(args):
+            u, lnl, zombie, pending, ncall, stall, key = args
+            zord = jnp.argsort(~zombie, axis=1, stable=True)
+            k1, k2 = random.split(key)
+            nz_cnt = jnp.maximum(L - pending, 1)
+            jsel = random.randint(k1, (R,), 0, 1 << 30)
+            sel = jnp.take_along_axis(
+                zord, (L - 1 - (jsel % nz_cnt))[:, None], axis=1
+            )[:, 0]
+            x = u[rr, sel]
+            lnl_x = jnp.take_along_axis(lnl, sel[:, None], axis=1)[:, 0]
+
+            def rep(j, carry):
+                x, lnl_x, ncall, key, got = carry
+                key, kd, ks = random.split(key, 3)
+                nvec = random.normal(kd, (R, D), dtype=dtype)
+                dirv = jnp.einsum("rde,re->rd", chol, nvec)
+                step = _shrink_step(
+                    loglike2, data, shift, x, lnl_x, dirv, thresh,
+                    ~stalled, cfg,
+                )
+                xn, lnln, acc, nc = step(ks)
+                upd = stalled & acc
+                x = jnp.where(upd[:, None], xn, x)
+                lnl_x = jnp.where(upd, lnln, lnl_x)
+                return x, lnl_x, ncall + nc, key, got | upd
+
+            got0 = jnp.zeros((R,), dtype=bool)
+            zero_nc = jnp.zeros((R,), dtype=jnp.int32)
+            x, lnl_x, nc, _, got = lax.fori_loop(
+                0, n_fall, rep, (x, lnl_x, zero_nc, k2, got0)
+            )
+            ins = stalled & got
+            slot0 = zord[:, 0]
+            slot0_w = jnp.where(ins, slot0, L)
+            u = u.at[rr, slot0_w].set(x, mode="drop")
+            lnl = lnl.at[rr, slot0_w].set(lnl_x, mode="drop")
+            zombie = zombie.at[rr, slot0_w].set(False, mode="drop")
+            pending = pending - ins.astype(jnp.int32)
+            stall = jnp.where(ins, 0, stall)
+            return u, lnl, zombie, pending, ncall + nc, stall, key
+
+        u_new, lnl_new, zombie, pending, ncall, stall, _ = lax.cond(
+            jnp.any(stalled),
+            fallback,
+            lambda args: args,
+            (u_new, lnl_new, zombie, pending, ncall, stall, k_fall),
+        )
+
+        # ---- 5. termination ----
+        lnx = lnx_tab[n_deaths]
+        lnl_live_max = jnp.max(jnp.where(zombie, _NEG, lnl_new), axis=1)
+        dlogz = jnp.logaddexp(lnz, lnx + lnl_live_max) - lnz
         newly_conv = (~s.done) & (dlogz < cfg.tol)
-        newly_done = newly_conv | ((~s.done) & (s.i + 1 >= cfg.max_iter))
-        n_dead = jnp.where(newly_done, s.i + 1, s.n_dead)
+        newly_done = newly_conv | ((~s.done) & (n_deaths >= max_iter))
 
         return _State(
             key=key,
             u=u_new,
             lnl=lnl_new,
             lnl_shift=shift,
-            lnz=lnz_new,
+            lnz=lnz,
             done=s.done | newly_done,
             converged=s.converged | newly_conv,
-            n_dead=n_dead,
+            n_deaths=n_deaths,
+            pending=pending,
+            thresh=thresh,
+            zombie=zombie,
+            stall=stall,
             ncall=ncall,
             dead_u=dead_u,
             dead_lnl=dead_lnl,
@@ -448,22 +561,26 @@ def ns_finalize(state: _State, cfg: NSConfig) -> NSResult:
     R, L, D = state.u.shape
     cfg = cfg.resolved(D)
     dtype = state.u.dtype
-    inv_l = 1.0 / L
+    max_iter = cfg.max_iter
     shift = state.lnl_shift
+    lnx_tab_np, lnw_tab_np = _weight_tables(L, cfg.kill_k, max_iter)
 
-    n_dead = jnp.minimum(state.n_dead, state.i)
-    idx = jnp.arange(cfg.max_iter, dtype=dtype)
-    dead_lnw = -(idx + 1.0) * inv_l + float(np.log(np.expm1(inv_l)))
-    dead_lnw = jnp.broadcast_to(dead_lnw, (R, cfg.max_iter))
-    valid = jnp.arange(cfg.max_iter)[None, :] < n_dead[:, None]
+    n_dead = jnp.minimum(state.n_deaths, max_iter)
+    dead_lnw = jnp.broadcast_to(
+        jnp.asarray(lnw_tab_np, dtype=dtype), (R, max_iter)
+    )
+    valid = jnp.arange(max_iter)[None, :] < n_dead[:, None]
     dead_lnw = jnp.where(valid, dead_lnw, _NEG)
     dead_lnl_s = jnp.where(valid, state.dead_lnl, _NEG)
 
-    lnx_final = -n_dead.astype(dtype) * inv_l
+    # remaining prior volume split among the non-zombie live points
+    lnx_final = jnp.asarray(lnx_tab_np, dtype=dtype)[n_dead]
+    n_live_eff = jnp.maximum(L - state.pending, 1).astype(dtype)
     live_lnw = jnp.broadcast_to(
-        (lnx_final - float(np.log(L)))[:, None], (R, L)
+        (lnx_final - jnp.log(n_live_eff))[:, None], (R, L)
     )
-    live_lnl_s = state.lnl
+    live_lnw = jnp.where(state.zombie, _NEG, live_lnw)
+    live_lnl_s = jnp.where(state.zombie, _NEG, state.lnl)
 
     all_lnwl = jnp.concatenate(
         [dead_lnw + dead_lnl_s, live_lnw + live_lnl_s], axis=1
@@ -473,7 +590,7 @@ def ns_finalize(state: _State, cfg: NSConfig) -> NSResult:
     all_lnl = jnp.concatenate([dead_lnl_s, live_lnl_s], axis=1)
     p = jnp.exp(all_lnwl - lnz_s[:, None])
     h = jnp.sum(jnp.where(all_lnl > _NEG / 2, p * all_lnl, 0.0), axis=1) - lnz_s
-    lnz_err = jnp.sqrt(jnp.maximum(h, 0.0) * inv_l)
+    lnz_err = jnp.sqrt(jnp.maximum(h, 0.0) / L)
 
     max_loglike = jnp.maximum(
         jnp.max(dead_lnl_s, axis=1), jnp.max(live_lnl_s, axis=1)
@@ -491,12 +608,12 @@ def ns_finalize(state: _State, cfg: NSConfig) -> NSResult:
         dead_lnl=jnp.where(valid, state.dead_lnl + shift[:, None], _NEG),
         dead_lnw=dead_lnw,
         live_u=state.u,
-        live_lnl=state.lnl + shift[:, None],
+        live_lnl=jnp.where(state.zombie, _NEG, state.lnl + shift[:, None]),
         live_lnw=live_lnw,
         max_loglike=max_loglike,
         nlive=L,
         ndim=D,
-        max_iter=cfg.max_iter,
+        max_iter=max_iter,
     )
 
 
@@ -540,6 +657,23 @@ def _get_segment_jits(loglike2, cfg, ndim, n_runs, dtype):
     return _JIT_CACHE[key][:3]
 
 
+def _gather_rows(tree, idx, n_rows):
+    """Gather leading-axis rows of every per-run leaf (host-side).
+
+    Leaves whose leading axis is not the run axis (scalars, typed PRNG
+    keys, unbatched data) pass through untouched.
+    """
+    def g(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jax.dtypes.prng_key):
+            return x
+        x = np.asarray(x)
+        if x.ndim >= 1 and x.shape[0] == n_rows:
+            return x[idx]
+        return x
+
+    return jax.tree_util.tree_map(g, tree)
+
+
 def run_nested(
     key,
     loglike: Callable,
@@ -549,6 +683,7 @@ def run_nested(
     dtype=jnp.float32,
     data=None,
     segment_iters: int = 0,
+    compact: bool = True,
 ) -> NSResult:
     """Run ``n_runs`` independent nested-sampling fits in lockstep.
 
@@ -571,23 +706,86 @@ def run_nested(
     segment_iters : int
         0 -> single traced computation (jittable).  >0 -> host loop of
         bounded device segments (recommended on real hardware).
+    compact : bool
+        In segmented mode, gather unfinished runs into a smaller
+        power-of-two batch when most of the batch has finished, so
+        straggler pixels do not pay full-batch compute.
     """
     cfg = config.resolved(ndim)
     loglike2, data = _normalize_loglike(loglike, data)
 
-    if segment_iters and segment_iters > 0:
-        init_j, seg_j, fin_j = _get_segment_jits(
-            loglike2, cfg, ndim, n_runs, dtype
-        )
-        state = init_j(key, data)
-        while True:
-            i = int(state.i)
-            if i >= cfg.max_iter or bool(np.asarray(state.done).all()):
-                break
-            state = seg_j(state, data,
-                          jnp.int32(min(i + segment_iters, cfg.max_iter)))
-        return fin_j(state)
+    if not (segment_iters and segment_iters > 0):
+        state = ns_init(key, loglike2, data, ndim, n_runs, cfg, dtype)
+        state = ns_segment(state, loglike2, data, cfg, cfg.max_iter)
+        return ns_finalize(state, cfg)
 
-    state = ns_init(key, loglike2, data, ndim, n_runs, cfg, dtype)
-    state = ns_segment(state, loglike2, data, cfg, cfg.max_iter)
-    return ns_finalize(state, cfg)
+    init_j, seg_j, fin_j = _get_segment_jits(
+        loglike2, cfg, ndim, n_runs, dtype
+    )
+    state = init_j(key, data)
+
+    # host loop with straggler compaction: parked rows (finished) are
+    # pulled to host; active rows continue in a smaller batch
+    orig_idx = np.arange(n_runs)          # current row -> original run
+    parked = []                           # (orig_indices, host-state rows)
+    cur_data = data
+    r_cur = n_runs
+    # hard iteration cap: deaths advance by kill_k per fill-cycle; a
+    # generous multiple of the minimum iteration count bounds stalls
+    iter_cap = cfg.max_iter
+    while True:
+        i = int(state.i)
+        done_np = np.asarray(state.done)
+        if done_np.all() or i >= iter_cap:
+            break
+        n_active = int((~done_np).sum())
+        r_new = max(cfg.min_compact, 1 << max(0, (n_active - 1).bit_length()))
+        if compact and n_active > 0 and r_new <= r_cur // 2:
+            host = jax.device_get(state)
+            act = np.flatnonzero(~done_np)
+            fin = np.flatnonzero(done_np)
+            parked.append((orig_idx[fin], _gather_rows(host, fin, r_cur)))
+            # pad the active set to the power-of-two batch with copies
+            # of the first active row, marked done (frozen + discarded)
+            pad = np.full(r_new - len(act), act[0], dtype=np.int64)
+            sel = np.concatenate([act, pad])
+            new_host = _gather_rows(host, sel, r_cur)
+            new_host = dataclasses.replace(
+                new_host,
+                done=np.concatenate(
+                    [np.zeros(len(act), bool), np.ones(len(pad), bool)]
+                ),
+            )
+            state = jax.tree_util.tree_map(jnp.asarray, new_host)
+            orig_idx = np.concatenate(
+                [orig_idx[act], np.full(len(pad), -1, dtype=np.int64)]
+            )
+            cur_data = _gather_rows(cur_data, sel, r_cur)
+            r_cur = r_new
+            init_j, seg_j, fin_j = _get_segment_jits(
+                loglike2, cfg, ndim, r_cur, dtype
+            )
+        state = seg_j(state, cur_data,
+                      jnp.int32(min(i + segment_iters, iter_cap)))
+
+    if parked:
+        host = jax.device_get(state)
+        parked.append((orig_idx, _gather_rows(host, np.arange(r_cur), r_cur)))
+        # drop padding rows (orig index -1) parked by later compactions
+        parked = [
+            (idx[idx >= 0], _gather_rows(rows, np.flatnonzero(idx >= 0),
+                                         len(idx)))
+            for idx, rows in parked
+        ]
+        all_idx = np.concatenate([p[0] for p in parked])
+        order = np.argsort(all_idx)
+        assert len(all_idx) == n_runs, (len(all_idx), n_runs)
+
+        def merge(*leaves):
+            if getattr(leaves[0], "ndim", 0) == 0:
+                return jnp.asarray(leaves[-1])
+            return jnp.asarray(np.concatenate(leaves, axis=0)[order])
+
+        state = jax.tree_util.tree_map(merge, *[p[1] for p in parked])
+        _, _, fin_j = _get_segment_jits(loglike2, cfg, ndim, n_runs, dtype)
+    return fin_j(state)
