@@ -80,7 +80,6 @@ from nestfit_tpu.cube import (
     HdfStore,
     NoiseMap,
     NoiseMapUniform,
-    get_multiproc_indices,
     read_fits,
     write_fits,
 )

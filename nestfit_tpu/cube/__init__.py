@@ -4,6 +4,6 @@ from nestfit_tpu.cube.cube import (
     NoiseMap,
     NoiseMapUniform,
 )
-from nestfit_tpu.cube.fitter import CubeFitter, get_multiproc_indices
+from nestfit_tpu.cube.fitter import CubeFitter
 from nestfit_tpu.cube.fits_io import read_fits, write_fits
 from nestfit_tpu.cube.store import HdfStore

@@ -15,25 +15,36 @@ from nestfit_tpu.cube.fits_io import read_fits
 
 
 class NoiseMap:
-    """Per-pixel RMS noise map (reference: main.py:39-65)."""
+    """Per-pixel RMS noise map (role of reference main.py:39-65).
+
+    Stored internally as ``(l, b)`` to match the cube's transposed
+    spatial layout; the constructor accepts the FITS-native ``(b, l)``
+    orientation.
+    """
 
     def __init__(self, data):
-        # data comes in (b, l); transpose to (l, b) to match the cube
-        self.data = np.asarray(data).transpose()
+        self.data = np.ascontiguousarray(np.swapaxes(np.asarray(data), 0, 1))
         self.shape = self.data.shape
 
     @classmethod
     def from_pbimg(cls, rms, pb_img):
+        """Scale a scalar RMS by the inverse primary-beam response;
+        unobserved (non-finite) pixels get infinite noise."""
         pb_img = np.asarray(pb_img)
-        shape = pb_img.shape
-        naxes = len(shape)
-        if naxes == 4:
-            pb_img = pb_img[0, 0]
-        elif naxes == 3:
-            pb_img = pb_img[0]
-        elif naxes != 2:
-            raise ValueError(f"Cannot parse shape : {shape}")
-        img = rms / pb_img
+        # FITS images often carry degenerate leading (stokes, spectral)
+        # axes; keep only the trailing two sky axes
+        if pb_img.ndim > 2:
+            lead = pb_img.shape[:-2]
+            if any(n != 1 for n in lead):
+                raise ValueError(
+                    f"primary-beam image has non-degenerate leading "
+                    f"axes: {pb_img.shape}"
+                )
+            pb_img = pb_img.reshape(pb_img.shape[-2:])
+        elif pb_img.ndim < 2:
+            raise ValueError(f"Cannot parse shape : {pb_img.shape}")
+        with np.errstate(divide="ignore", invalid="ignore"):
+            img = np.where(np.isfinite(pb_img), rms / pb_img, np.inf)
         img[~np.isfinite(img)] = np.inf
         return cls(img)
 
@@ -42,10 +53,10 @@ class NoiseMap:
 
 
 class NoiseMapUniform:
-    """Uniform scalar RMS (reference: main.py:68-74)."""
+    """Spatially uniform RMS (role of reference main.py:68-74)."""
 
     def __init__(self, rms):
-        self.rms = rms
+        self.rms = float(rms)
         self.shape = None
 
     def get_noise(self, i_lon, i_lat):

@@ -16,10 +16,10 @@ exit (main.py:448-472)                      survivors of N-1 only (compaction),
                                             Bayes-factor gate per pixel
 one HDF chunk file per process              one HDF chunk file per batch
 (main.py:424-435)                           (same store layout)
-"FIXME no error handling if a process       batches are pure idempotent
-fails" (main.py:514)                        functions; a failed batch can be
-                                            re-dispatched without touching the
-                                            store
+"FIXME no error handling if a process       per-batch retry with a fresh PRNG
+fails" (main.py:514)                        key; completed pixels recorded in a
+                                            chunk manifest so ``fit_cube``
+                                            resumes by skipping them
 """
 
 import dataclasses
@@ -37,16 +37,6 @@ from nestfit_tpu.sampling.fit import fit_batch
 from nestfit_tpu.utils import get_logger
 
 log = get_logger("nestfit_tpu.fitter")
-
-
-def get_multiproc_indices(shape, nproc):
-    """Longitude-interleaved pixel striping (reference main.py:565-571);
-    kept for API parity and chunk assignment."""
-    lon_ix, lat_ix = np.indices(shape)
-    return [
-        (lon_ix[i::nproc, ...].flatten(), lat_ix[i::nproc, ...].flatten())
-        for i in range(nproc)
-    ]
 
 
 def bucket_nlive(nlive_arr, n_buckets=4, quantum=50):
@@ -70,6 +60,13 @@ class CubeFitter:
     (Bayes-factor gate, default 11), ``ncomp_max`` (default 2),
     ``nlive_snr_fact`` (default 5), and the sampler kwargs (default
     nlive=100, tol=1.0, main.py:381-386).
+
+    ``mesh``: optional ``jax.sharding.Mesh`` with a ``dp`` axis; each
+    pixel batch is sharded over it (the device-level replacement for
+    the reference's ``nproc`` process striping).  ``max_retries``
+    re-dispatches a failed batch with a fresh PRNG key before giving
+    up on it (its pixels stay absent from the completion manifest, so
+    a later ``fit_cube(..., resume=True)`` picks them up).
     """
 
     ns_default_kwargs = {"nlive": 100, "tol": 1.0}
@@ -77,7 +74,8 @@ class CubeFitter:
     def __init__(self, stack, utrans, runner_cls, runner_kwargs=None,
                  lnZ_thresh=11, ncomp_max=2, ns_kwargs=None,
                  nlive_snr_fact=5, batch_size=1024, n_post=512,
-                 nlive_buckets=4, segment_iters=256):
+                 nlive_buckets=4, segment_iters=256, mesh=None,
+                 max_retries=1):
         self.stack = stack
         self.utrans = utrans
         self.runner_cls = runner_cls
@@ -92,12 +90,20 @@ class CubeFitter:
         self.n_post = n_post
         self.nlive_buckets = nlive_buckets
         self.segment_iters = segment_iters
+        self.mesh = mesh
+        self.max_retries = max_retries
         self._jit_cache = {}
 
     # mn_kwargs alias for reference API parity
     @property
     def mn_kwargs(self):
         return self.ns_kwargs
+
+    @property
+    def _dp_size(self):
+        if self.mesh is None:
+            return 1
+        return self.mesh.shape.get("dp", 1)
 
     def _make_runner(self, datas, noises, ncomp):
         """Batched runner over per-pixel data arrays."""
@@ -112,40 +118,45 @@ class CubeFitter:
         )
 
     def fit_cube(self, store_name="run/test_cube", nproc=1, seed=0,
-                 timeout=None):
+                 timeout=None, resume=False):
         """Fit the full field and write the store.
 
         ``nproc`` is accepted for API parity with the reference
-        (main.py:476-527) but parallelism is device-level; chunk files
-        are written per batch.
+        (main.py:476-527) but parallelism is device-level (``mesh``);
+        chunk files are written per batch.  With ``resume=True``,
+        pixels already present in the store's completion manifest are
+        skipped (the tile-granular restart the reference lacks,
+        main.py:514).
         """
         n_lon, n_lat = self.stack.spatial_shape
         datas, noises, nan_mask, max_snr = self.stack.get_flat_batch()
         n_pix = datas[0].shape[0]
         valid = ~nan_mask
         valid_ix = np.nonzero(valid)[0]
+
+        store = HdfStore(store_name, nchunks=max(
+            1, int(np.ceil(valid_ix.size / self.batch_size))
+        ))
+        if resume:
+            done = store.completed_pixels()
+            valid_ix = np.setdiff1d(valid_ix, done)
+            log.info("fit_cube: resume skips %d completed pixels", done.size)
         log.info("fit_cube: %d/%d valid pixels", valid_ix.size, n_pix)
+        store.insert_header(self.stack)
+        store.insert_fitter_pars(self)
+        store.insert_model_metadata(self.runner_cls.model)
 
         # SNR-scaled live points, bucketed (main.py:444-447)
         base_nlive = self.ns_kwargs.get("nlive", 100)
         nlive_pix = base_nlive + (
             self.nlive_snr_fact * np.nan_to_num(max_snr[valid_ix])
         ).astype(int)
-        nlive_assign, levels = bucket_nlive(
-            nlive_pix, n_buckets=self.nlive_buckets
-        )
-
-        store = HdfStore(store_name, nchunks=max(
-            1, int(np.ceil(valid_ix.size / self.batch_size))
-        ))
-        store.insert_header(self.stack)
-        store.insert_fitter_pars(self)
-        store.insert_model_metadata(self.runner_cls.model)
-
-        # per-pixel records assembled over the ladder
-        records = {}          # pix_ix -> {ncomp: (fit, run_ix_in_batch...)}
-        nbest = np.zeros(n_pix, dtype=np.int32) - 1
-        nbest[valid_ix] = 0
+        if valid_ix.size:
+            nlive_assign, _ = bucket_nlive(
+                nlive_pix, n_buckets=self.nlive_buckets
+            )
+        else:
+            nlive_assign = np.empty(0, dtype=int)
 
         key = random.key(seed)
         chunk_id = 0
@@ -159,34 +170,55 @@ class CubeFitter:
                 batch_ix = sel[lo:lo + self.batch_size]
                 key, sub = random.split(key)
                 chunk_path = store.chunk_paths[chunk_id % store.nchunks]
-                self._fit_batch_ladder(
-                    sub, batch_ix, datas, noises, cfg, chunk_path,
-                    n_lat, nbest,
+                self._run_batch_with_retry(
+                    sub, batch_ix, datas, noises, cfg, chunk_path, n_lat,
                 )
                 chunk_id += 1
         log.info("fit_cube: fitting done in %.1fs", time.time() - t_start)
 
         store.link_files()
-        # per-pixel nbest attrs on the linked groups
-        for group in store.iter_pix_groups():
-            i_lon = int(group.name.split("/")[2])
-            i_lat = int(group.name.split("/")[3])
-            flat = i_lon * n_lat + i_lat
-            group.attrs["i_lon"] = i_lon
-            group.attrs["i_lat"] = i_lat
-            group.attrs["nbest"] = int(nbest[flat])
         store.hdf.flush()
         store.close()
         return store
 
-    @staticmethod
-    def _pad_quantum(n):
-        """Next power of two (static shapes -> one compile per size
-        class instead of one per survivor count)."""
+    def _run_batch_with_retry(self, key, batch_ix, datas, noises, cfg,
+                              chunk_path, n_lat):
+        """Dispatch one batch, re-keying on failure (tile-granular
+        fault tolerance; batches are pure and idempotent)."""
+        for attempt in range(self.max_retries + 1):
+            try:
+                return self._fit_batch_ladder(
+                    key, batch_ix, datas, noises, cfg, chunk_path, n_lat,
+                )
+            except Exception:
+                if attempt >= self.max_retries:
+                    log.exception(
+                        "batch of %d pixels failed after %d attempts; "
+                        "left for resume", batch_ix.size, attempt + 1,
+                    )
+                    return None
+                log.exception("batch failed; retrying with a fresh key")
+                key = random.split(key)[0]
+
+    def _pad_quantum(self, n):
+        """Next power of two, rounded up to a multiple of the mesh's
+        ``dp`` size (static shapes -> one compile per size class; even
+        shards per device)."""
         p = 1
         while p < n:
             p *= 2
-        return p
+        dp = self._dp_size
+        if p % dp:
+            p = int(np.ceil(n / dp)) * dp
+        return max(p, dp)
+
+    def _shard_batch(self, tree):
+        """Place per-pixel arrays on the mesh, pixel axis over ``dp``."""
+        if self.mesh is None:
+            return tree
+        from nestfit_tpu.parallel.mesh import shard_pixel_batch
+
+        return shard_pixel_batch(self.mesh, tree)
 
     def _get_template_runner(self, ncomp, r_pad, datas, noises):
         """One runner template per (ncomp, batch size): repeated
@@ -199,11 +231,13 @@ class CubeFitter:
         return self._jit_cache[cache_key]
 
     def _fit_batch_ladder(self, key, batch_ix, datas, noises, cfg,
-                          chunk_path, n_lat, nbest):
+                          chunk_path, n_lat):
         """Run the 1..ncomp_max ladder for one pixel batch and write
         the chunk file (reference inner loop main.py:436-473)."""
         import h5py
 
+        nbest = np.zeros(batch_ix.size, dtype=np.int32)
+        pos_of = {pix: i for i, pix in enumerate(batch_ix)}
         cur_ix = batch_ix                   # survivors (global pixel ids)
         fits = {}                           # ncomp -> (fit, global ids)
         old_lnz = None
@@ -221,7 +255,7 @@ class CubeFitter:
             key, sub = random.split(key)
             t0 = time.time()
             template = self._get_template_runner(ncomp, r_pad, d_b, n_b)
-            data_tree = tuple(zip(d_b, n_b))
+            data_tree = self._shard_batch(tuple(zip(d_b, n_b)))
             fit = fit_batch(
                 sub, template, r_pad, cfg, n_post=self.n_post,
                 segment_iters=self.segment_iters, data=data_tree,
@@ -240,17 +274,23 @@ class CubeFitter:
             gain = lnz - prev
             passed = gain >= self.lnZ_thresh
             # update nbest for survivors that passed this rung
-            nbest[cur_ix[passed]] = ncomp
+            for pix in cur_ix[passed]:
+                nbest[pos_of[pix]] = ncomp
             # survivors for the next rung
             cur_ix = cur_ix[passed]
             old_lnz = lnz[passed]
 
-        # write chunk
+        # write chunk: fit groups, pixel-level attrs (incl. nbest), and
+        # the completion manifest -- all while the chunk file is open
         with h5py.File(chunk_path, "a") as hdf:
             for ncomp, (fit, ids) in fits.items():
                 for run_ix, pix in enumerate(ids):
                     i_lon = int(pix // n_lat)
                     i_lat = int(pix % n_lat)
-                    write_fit_group(hdf, i_lon, i_lat, ncomp, fit, run_ix)
+                    group = write_fit_group(
+                        hdf, i_lon, i_lat, ncomp, fit, run_ix
+                    )
+                    group.parent.attrs["nbest"] = int(nbest[pos_of[pix]])
+            HdfStore.mark_completed(hdf, batch_ix)
             hdf.flush()
         return fits

@@ -1,14 +1,24 @@
 """HDF5 result store.
 
-Preserves the reference's store format exactly
-(reference: main.py:233-377; layout spec docs/store_spec.rst:56-150):
-a ``<name>.store/`` directory of per-writer ``chunk<i>.hdf`` files
-externally linked into a master ``table.hdf``, with per-pixel groups
-``/pix/<lon>/<lat>/<N>`` carrying the nested-sampling attributes and
-datasets, and a ``/products`` group of dense aggregated maps.
+Keeps the reference's on-disk layout (layout spec
+docs/store_spec.rst:56-150; writer in reference main.py:233-377): a
+``<name>.store/`` directory holding one ``chunk<i>.hdf`` per writer
+plus a master ``table.hdf`` that external-links every chunk's pixel
+groups.  Per-pixel groups live at ``/pix/<lon>/<lat>/<N>`` and carry
+the nested-sampling attributes and datasets; dense aggregated maps go
+under ``/products``.
 
-The chunk-per-writer design maps one-to-one onto per-host shard files
-in a multi-host TPU fit (SURVEY.md section 2.3).
+Differences from the reference writer (same format, different
+machinery):
+
+* pixel-level attributes (``i_lon``/``i_lat``/``nbest``) are written
+  by the chunk writer while the chunk file is open, never by mutating
+  linked groups through the master file afterwards;
+* each chunk records a ``/completed`` dataset of flat pixel indices --
+  the completion manifest that lets an interrupted ``fit_cube`` resume
+  by skipping finished pixels;
+* the chunk-per-writer design maps one-to-one onto per-host shard
+  files in a multi-host TPU fit (SURVEY.md section 2.3).
 """
 
 import warnings
@@ -22,13 +32,12 @@ from nestfit_tpu.sampling.results import MARGINAL_COLS, QUANTILES
 
 
 def check_ext(store_name, ext="hdf"):
-    if store_name.endswith(f".{ext}"):
-        return store_name
-    return f"{store_name}.{ext}"
+    name = str(store_name)
+    return name if name.endswith(f".{ext}") else f"{name}.{ext}"
 
 
 class HdfStore:
-    """Reference-compatible HDF5 store (main.py:233-377)."""
+    """Chunked HDF5 store with the reference-compatible layout."""
 
     linked_table = Path("table.hdf")
     chunk_prefix = "chunk"
@@ -39,16 +48,15 @@ class HdfStore:
         self.store_dir = Path(check_ext(self.store_name, ext="store"))
         self.store_dir.mkdir(parents=True, exist_ok=True)
         self.hdf = h5py.File(self.store_dir / self.linked_table, "a")
-        try:
-            self.nchunks = int(self.hdf.attrs["nchunks"])
-        except KeyError:
+        # the chunk count is fixed at creation; reopening an existing
+        # store keeps the original value
+        stored = self.hdf.attrs.get("nchunks")
+        if stored is None:
             self.hdf.attrs["nchunks"] = nchunks
-            self.nchunks = nchunks
-        try:
-            model_name = self.hdf.attrs["model_name"]
-            self.model = MODELS[model_name]
-        except KeyError:
-            self.model = None
+            stored = nchunks
+        self.nchunks = int(stored)
+        model_name = self.hdf.attrs.get("model_name")
+        self.model = MODELS.get(model_name) if model_name else None
 
     def __enter__(self):
         return self
@@ -59,32 +67,32 @@ class HdfStore:
     @property
     def chunk_paths(self):
         return [
-            self.store_dir / Path(f"{self.chunk_prefix}{i}.hdf")
+            self.store_dir / f"{self.chunk_prefix}{i}.hdf"
             for i in range(self.nchunks)
         ]
 
     @property
     def is_open(self):
-        try:
-            self.hdf.mode
-            return True
-        except ValueError:
-            return False
+        # an h5py.File is falsy once closed
+        return bool(self.hdf)
 
     def close(self):
-        try:
+        if self.is_open:
             self.hdf.flush()
             self.hdf.close()
-        except ValueError:
-            pass
 
     def iter_pix_groups(self):
+        """Yield every linked pixel group, in (lon, lat) numeric order."""
         assert self.is_open
-        for lon_pix in self.hdf["/pix"]:
-            for lat_pix in self.hdf[f"/pix/{lon_pix}"]:
-                group = self.hdf[f"/pix/{lon_pix}/{lat_pix}"]
-                if isinstance(group, h5py.Group):
-                    yield group
+        pix = self.hdf.get("/pix")
+        if pix is None:
+            return
+        for lon in sorted(pix, key=int):
+            lon_group = pix[lon]
+            for lat in sorted(lon_group, key=int):
+                node = lon_group[lat]
+                if isinstance(node, h5py.Group):
+                    yield node
 
     def find_first_valid_group(self):
         assert self.is_open
@@ -94,29 +102,61 @@ class HdfStore:
         raise ValueError("No valid pix groups found.")
 
     def link_files(self):
-        """Externally link every chunk's pixel groups into table.hdf
-        (reference: main.py:313-322)."""
+        """External-link every chunk's pixel groups into table.hdf
+        (layout per docs/store_spec.rst:12-20)."""
         assert self.is_open
         for chunk_path in self.chunk_paths:
             if not chunk_path.exists():
                 continue
-            with h5py.File(chunk_path, "r") as chunk_hdf:
-                if "/pix" not in chunk_hdf:
+            with h5py.File(chunk_path, "r") as chunk:
+                pix = chunk.get("/pix")
+                if pix is None:
                     continue
-                for lon_pix in chunk_hdf["/pix"]:
-                    for lat_pix in chunk_hdf[f"/pix/{lon_pix}"]:
-                        group_name = f"/pix/{lon_pix}/{lat_pix}"
-                        if group_name in self.hdf:
-                            del self.hdf[group_name]
-                        self.hdf[group_name] = h5py.ExternalLink(
-                            chunk_path.name, group_name
+                for lon in pix:
+                    for lat in pix[lon]:
+                        name = f"/pix/{lon}/{lat}"
+                        if name in self.hdf:
+                            del self.hdf[name]
+                        self.hdf[name] = h5py.ExternalLink(
+                            chunk_path.name, name
                         )
-                self.hdf.flush()
+            self.hdf.flush()
 
     def reset_pix_links(self):
         assert self.is_open
         if "/pix" in self.hdf:
             del self.hdf["/pix"]
+
+    # ------------------------------------------------------------------
+    # completion manifest (resume support)
+    # ------------------------------------------------------------------
+
+    def completed_pixels(self):
+        """Flat pixel indices recorded as completed across all chunks."""
+        done = []
+        for chunk_path in self.chunk_paths:
+            if not chunk_path.exists():
+                continue
+            with h5py.File(chunk_path, "r") as chunk:
+                if "completed" in chunk:
+                    done.append(chunk["completed"][...])
+        if not done:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(done))
+
+    @staticmethod
+    def mark_completed(chunk_hdf, flat_ix):
+        """Append flat pixel indices to an open chunk's manifest."""
+        flat_ix = np.asarray(flat_ix, dtype=np.int64)
+        if "completed" in chunk_hdf:
+            prev = chunk_hdf["completed"][...]
+            del chunk_hdf["completed"]
+            flat_ix = np.concatenate([prev, flat_ix])
+        chunk_hdf.create_dataset("completed", data=np.unique(flat_ix))
+
+    # ------------------------------------------------------------------
+    # metadata
+    # ------------------------------------------------------------------
 
     def insert_header(self, stack):
         if not self.is_open:
@@ -125,29 +165,31 @@ class HdfStore:
                 category=RuntimeWarning,
             )
             return
-        sh_g = self.hdf.require_group("simple_header")
-        for k, v in stack.simple_header.items():
-            sh_g.attrs[k] = v
-        fh_g = self.hdf.require_group("full_header")
-        for k, v in stack.full_header.items():
-            if v is None or (isinstance(v, float) and not np.isfinite(v)):
+        simple = self.hdf.require_group("simple_header")
+        for key, val in stack.simple_header.items():
+            simple.attrs[key] = val
+        full = self.hdf.require_group("full_header")
+        for key, val in stack.full_header.items():
+            if val is None:
                 continue
-            fh_g.attrs[k] = v
+            if isinstance(val, float) and not np.isfinite(val):
+                continue
+            full.attrs[key] = val
         self.hdf.attrs["naxis1"] = stack.shape[2]  # n_lon
         self.hdf.attrs["naxis2"] = stack.shape[1]  # n_lat
 
     def read_header(self, full=True):
         assert self.is_open
-        name = "full_header" if full else "simple_header"
-        return dict(self.hdf[name].attrs)
+        return dict(self.hdf["full_header" if full else "simple_header"].attrs)
 
     def create_dataset(self, dset_name, data, group="", clobber=True):
-        assert len(dset_name) > 0
-        self.hdf.require_group(group)
-        path = f'{group.rstrip("/")}/{dset_name}'
-        if path in self.hdf and clobber:
-            del self.hdf[path]
-        return self.hdf[group].create_dataset(dset_name, data=data)
+        assert dset_name
+        parent = self.hdf.require_group(group) if group else self.hdf
+        if dset_name in parent:
+            if not clobber:
+                raise ValueError(f"dataset exists: {group}/{dset_name}")
+            del parent[dset_name]
+        return parent.create_dataset(dset_name, data=data)
 
     def insert_fitter_pars(self, fitter):
         assert self.is_open
@@ -175,7 +217,10 @@ def write_fit_group(hdf, i_lon, i_lat, ncomp, fit, run_ix):
     ``mn_dump`` (core.pyx:645-687) from a batched :class:`FitResult`
     at batch index ``run_ix``.
     """
-    group = hdf.require_group(f"/pix/{i_lon}/{i_lat}/{ncomp}")
+    pix_group = hdf.require_group(f"/pix/{i_lon}/{i_lat}")
+    pix_group.attrs["i_lon"] = i_lon
+    pix_group.attrs["i_lat"] = i_lat
+    group = pix_group.require_group(str(ncomp))
     ns = fit.ns
     group.attrs["ncomp"] = ncomp
     group.attrs["null_lnZ"] = float(fit.null_lnz[run_ix])
