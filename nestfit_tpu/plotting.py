@@ -139,6 +139,282 @@ class StorePlotter:
         name = name or f"spec_fit_{i_lon}_{i_lat}"
         return self._save(fig, name)
 
+    def plot_mext_evidence(self, name="map_mext_evdiff"):
+        """Masked extended-evidence map (reference plotting.py:369-386)."""
+        data = self.hdf[f"{self.dpath}/mext_evidence"][...]
+        fig, ax = plt.subplots(figsize=(5, 4))
+        im = self._imshow(ax, data, cmap="RdBu_r",
+                          norm=mcolors.TwoSlopeNorm(0.0))
+        fig.colorbar(im, ax=ax, label=r"masked $\Delta \ln Z$")
+        return self._save(fig, name)
+
+    def plot_ncomp_metrics(self, name="map_ncomp_metrics", lnz_thresh=None):
+        """Preferred component count per information criterion
+        (reference plotting.py:472-500): lnZ Bayes factor vs BIC/AIC/
+        AICc minima, side by side."""
+        if lnz_thresh is None:
+            lnz_thresh = float(self.hdf.attrs.get("lnZ_threshold", 11.0))
+        ev = self.hdf[f"{self.dpath}/evidence"][...]       # [M+1, b, l]
+        metrics = {"lnZ": None}
+        n_models = ev.shape[0] - 1
+        nb_ev = np.zeros(ev.shape[1:], dtype=float)
+        for i in range(n_models):
+            nb_ev += (nb_ev == i) & (ev[i + 1] - ev[i] > lnz_thresh)
+        nb_ev[np.isnan(ev[0])] = np.nan
+        metrics["lnZ"] = nb_ev
+        for crit in ("BIC", "AIC", "AICc"):
+            if f"{self.dpath}/{crit}" not in self.hdf:
+                continue
+            arr = self.hdf[f"{self.dpath}/{crit}"][...]
+            nb = np.nanargmin(
+                np.where(np.isnan(arr), np.inf, arr), axis=0
+            ).astype(float)
+            nb[np.isnan(arr[0])] = np.nan
+            metrics[crit] = nb
+        fig, axes = plt.subplots(
+            ncols=len(metrics), figsize=(3.2 * len(metrics), 3),
+            squeeze=False,
+        )
+        for ax, (label, img) in zip(axes[0], metrics.items()):
+            im = self._imshow(ax, img, cmap="magma", vmin=0,
+                              vmax=n_models)
+            ax.set_title(label, fontsize=9)
+            fig.colorbar(im, ax=ax, fraction=0.046)
+        return self._save(fig, name)
+
+    def _prop_grid(self, img_fn, title, name):
+        """Parameter x component grid of sky maps."""
+        n_par = len(self.par_names) or int(self.hdf.attrs["n_params"])
+        ncomp_max = int(self.hdf.attrs["n_max_components"])
+        fig, axes = plt.subplots(
+            nrows=ncomp_max, ncols=n_par,
+            figsize=(2.4 * n_par, 2.2 * ncomp_max), squeeze=False,
+        )
+        for m_ix in range(ncomp_max):
+            for p_ix in range(n_par):
+                ax = axes[m_ix, p_ix]
+                img = img_fn(m_ix, p_ix)
+                im = ax.imshow(img, origin="lower", cmap=_CMAP)
+                fig.colorbar(im, ax=ax, fraction=0.046)
+                pname = (self.par_names[p_ix]
+                         if p_ix < len(self.par_names) else f"p{p_ix}")
+                if m_ix == 0:
+                    ax.set_title(pname, fontsize=8)
+                if p_ix == 0:
+                    ax.set_ylabel(f"comp {m_ix + 1}", fontsize=8)
+                ax.set_xticks([])
+                ax.set_yticks([])
+        fig.suptitle(title, fontsize=10)
+        return self._save(fig, name)
+
+    def plot_map_props(self, name="map_props"):
+        """All-parameter MAP map grid (reference plotting.py:503-525)."""
+        data = self.hdf[f"{self.dpath}/nbest_MAP"][...]
+        return self._prop_grid(
+            lambda m, p: data[m, p], "MAP parameter maps", name
+        )
+
+    def plot_quan_props(self, quan_ix=4, name="quan_props", conv=True):
+        """Quantile parameter map grid (reference plotting.py:528-559);
+        ``quan_ix=4`` is the median."""
+        dset = "conv_marginals" if conv else "nbest_marginals"
+        data = self.hdf[f"{self.dpath}/{dset}"][...]
+        if conv:
+            # [r, m, p, M, b, l]: take the (r==m) diagonal per comp
+            def img_fn(m, p):
+                return data[m, m, p, quan_ix]
+        else:
+            def img_fn(m, p):
+                return data[m, p, quan_ix]
+        return self._prop_grid(
+            img_fn, f"quantile {quan_ix} parameter maps", name
+        )
+
+    def plot_err_props(self, name="err_props", conv=True):
+        """Half-width 1-sigma error map grid
+        (reference plotting.py:562-596)."""
+        dset = "conv_marginals" if conv else "nbest_marginals"
+        data = self.hdf[f"{self.dpath}/{dset}"][...]
+        lo, hi = MARGINAL_COLS.index("1s_lo"), MARGINAL_COLS.index("1s_hi")
+        if conv:
+            def img_fn(m, p):
+                return (data[m, m, p, hi] - data[m, m, p, lo]) / 2
+        else:
+            def img_fn(m, p):
+                return (data[m, p, hi] - data[m, p, lo]) / 2
+        return self._prop_grid(img_fn, "1-sigma half-width maps", name)
+
+    def plot_3d_volume(self, name="volume_field", thresh_frac=0.1,
+                       trans_ix=0):
+        """3-D (l, b, v) rendering of the deblended intensity field
+        (reference plotting.py:599-608): voxels above a fraction of the
+        peak, colored by brightness."""
+        hfdb = self.hdf[f"{self.dpath}/hf_deblended"][...]
+        cube = np.nansum(hfdb[trans_ix], axis=0)   # [v, b, l]
+        vmax = np.nanmax(cube)
+        if not np.isfinite(vmax) or vmax <= 0:
+            vmax = 1.0
+        iv, ib, il = np.nonzero(cube > thresh_frac * vmax)
+        fig = plt.figure(figsize=(6, 5))
+        ax = fig.add_subplot(projection="3d")
+        vals = cube[iv, ib, il]
+        p = ax.scatter(il, ib, iv, c=vals, cmap="inferno", s=4,
+                       alpha=0.5, linewidths=0)
+        ax.set_xlabel("lon pix")
+        ax.set_ylabel("lat pix")
+        ax.set_zlabel("velocity chan")
+        fig.colorbar(p, ax=ax, shrink=0.6, label=r"$T_\mathrm{b}$ [K]")
+        return self._save(fig, name)
+
+    def plot_post_stack(self, i_lon, i_lat, name=None):
+        """Per-pixel stacked posterior histograms: one row per
+        parameter, one curve per component and per model run
+        (reference plotting.py:611-648)."""
+        group = self.hdf[f"/pix/{i_lon}/{i_lat}"]
+        runs = sorted(int(k) for k in group)
+        n_par = len(self.par_names) or int(self.hdf.attrs["n_params"])
+        fig, axes = plt.subplots(
+            nrows=n_par, figsize=(6, 1.6 * n_par), squeeze=False,
+        )
+        for n_run in runs:
+            post = group[str(n_run)]["posteriors"][...]
+            for p_ix in range(n_par):
+                ax = axes[p_ix, 0]
+                for i_m in range(n_run):
+                    vals = post[:, p_ix * n_run + i_m]
+                    ax.hist(
+                        vals, bins=60, histtype="step", density=True,
+                        lw=0.9, alpha=0.9,
+                        label=f"N={n_run} c{i_m + 1}",
+                    )
+        for p_ix in range(n_par):
+            pname = (self.par_names[p_ix]
+                     if p_ix < len(self.par_names) else f"p{p_ix}")
+            axes[p_ix, 0].set_ylabel(pname, fontsize=8)
+            axes[p_ix, 0].tick_params(labelsize=7)
+        axes[0, 0].legend(fontsize=6, ncol=2)
+        name = name or f"post_stack_{i_lon}_{i_lat}"
+        return self._save(fig, name)
+
+    def plot_spec_fit_draws(self, i_lon, i_lat, stack, runner, n_draw=30,
+                            ncomp=None, name=None, animate=False):
+        """Spectrum with MAP model plus posterior-draw overlays; with
+        ``animate=True`` also writes a GIF cycling through the draws
+        (reference plotting.py:696-768)."""
+        group = self.hdf[f"/pix/{i_lon}/{i_lat}"]
+        nbest = ncomp or max(int(group.attrs["nbest"]), 1)
+        sub = group[f"{nbest}"]
+        post = sub["posteriors"][...]
+        map_params = sub["map_params"][...]
+        rng = np.random.default_rng(0)
+        take = rng.choice(post.shape[0], size=min(n_draw, post.shape[0]),
+                          replace=False)
+        draws = post[take, :-2]
+        map_preds = runner_predict_full(runner, map_params, nbest)
+        draw_preds = [
+            runner_predict_full(runner, draws[i], nbest)
+            for i in range(draws.shape[0])
+        ]
+        n_t = stack.n_cubes
+        fig, axes = plt.subplots(
+            nrows=n_t, figsize=(8, 2.5 * n_t), squeeze=False,
+        )
+        for i_t, dcube in enumerate(stack.cubes):
+            ax = axes[i_t, 0]
+            _, arr, _, tid, _ = dcube.get_spec_data(i_lon, i_lat)
+            ax.step(dcube.varr, arr, color="0.4", lw=0.8)
+            for dp in draw_preds:
+                ax.plot(dcube.varr, dp[i_t], color="tab:blue", lw=0.4,
+                        alpha=0.25)
+            ax.plot(dcube.varr, map_preds[i_t], color="tab:red", lw=1.2)
+            ax.set_ylabel(rf"$T_\mathrm{{b}}$ t{dcube.trans_id} [K]")
+        axes[-1, 0].set_xlabel(r"$v_\mathrm{lsr}$ [km/s]")
+        name = name or f"spec_draws_{i_lon}_{i_lat}"
+        path = self._save(fig, name)
+        if animate:
+            path = self._animate_draws(
+                i_lon, i_lat, stack, draw_preds, map_preds, name
+            )
+        return path
+
+    def _animate_draws(self, i_lon, i_lat, stack, draw_preds, map_preds,
+                       name):
+        """GIF cycling through posterior-draw model curves
+        (reference plotting.py:741-768 animation branch)."""
+        from matplotlib.animation import FuncAnimation, PillowWriter
+
+        dcube = stack.cubes[0]
+        _, arr, _, _, _ = dcube.get_spec_data(i_lon, i_lat)
+        fig, ax = plt.subplots(figsize=(8, 3))
+        ax.step(dcube.varr, arr, color="0.4", lw=0.8)
+        ax.plot(dcube.varr, map_preds[0], color="tab:red", lw=1.0)
+        line, = ax.plot(dcube.varr, draw_preds[0][0], color="tab:blue",
+                        lw=0.9)
+        ax.set_xlabel(r"$v_\mathrm{lsr}$ [km/s]")
+        ax.set_ylabel(r"$T_\mathrm{b}$ [K]")
+
+        def update(i):
+            line.set_ydata(draw_preds[i % len(draw_preds)][0])
+            return (line,)
+
+        anim = FuncAnimation(fig, update, frames=len(draw_preds))
+        path = self.plot_dir / f"{name}.gif"
+        anim.save(path, writer=PillowWriter(fps=5))
+        plt.close(fig)
+        return path
+
+    def plot_spec_grid(self, stack, pix, rlon=2, rlat=2, trans_ix=0,
+                       name=None):
+        """Postage-stamp grid of spectra around a central pixel
+        (reference plotting.py:771-888)."""
+        i_lon0, i_lat0 = pix
+        dcube = stack.cubes[trans_ix]
+        n_lon, n_lat = stack.spatial_shape
+        nr, nc = 2 * rlat + 1, 2 * rlon + 1
+        fig, axes = plt.subplots(
+            nrows=nr, ncols=nc, figsize=(1.6 * nc, 1.1 * nr),
+            sharex=True, sharey=True, squeeze=False,
+        )
+        for dy in range(-rlat, rlat + 1):
+            for dx in range(-rlon, rlon + 1):
+                # grid rows top-to-bottom = decreasing latitude
+                ax = axes[rlat - dy, dx + rlon]
+                i_lon, i_lat = i_lon0 + dx, i_lat0 + dy
+                ax.tick_params(labelsize=5)
+                if not (0 <= i_lon < n_lon and 0 <= i_lat < n_lat):
+                    ax.set_facecolor("0.9")
+                    continue
+                _, arr, _, _, has_nans = dcube.get_spec_data(i_lon, i_lat)
+                if has_nans:
+                    ax.set_facecolor("0.9")
+                    continue
+                ax.step(dcube.varr, arr, color="0.2", lw=0.5)
+                if dx == 0 and dy == 0:
+                    for spine in ax.spines.values():
+                        spine.set_color("tab:red")
+        fig.subplots_adjust(hspace=0, wspace=0)
+        name = name or f"spec_grid_{i_lon0}_{i_lat0}"
+        return self._save(fig, name)
+
+    def plot_velo_2corr(self, i_lon, i_lat, name=None):
+        """Joint posterior of the two component centroids for a 2-comp
+        fit (reference plotting.py:930-959)."""
+        group = self.hdf[f"/pix/{i_lon}/{i_lat}"]
+        if "2" not in group:
+            raise ValueError(f"no 2-comp run at ({i_lon}, {i_lat})")
+        post = group["2"]["posteriors"][...]
+        v1, v2 = post[:, 0], post[:, 1]
+        fig, ax = plt.subplots(figsize=(4, 4))
+        ax.hist2d(v1, v2, bins=50, cmap="Blues",
+                  norm=mcolors.PowerNorm(0.5))
+        lo = min(v1.min(), v2.min())
+        hi = max(v1.max(), v2.max())
+        ax.plot([lo, hi], [lo, hi], "k--", lw=0.6)
+        ax.set_xlabel(r"$v_1$ [km/s]")
+        ax.set_ylabel(r"$v_2$ [km/s]")
+        name = name or f"velo_2corr_{i_lon}_{i_lat}"
+        return self._save(fig, name)
+
     def plot_corner(self, i_lon, i_lat, ncomp=None, name=None):
         """Posterior corner plot from stored samples (replaces the
         getdist triangle plots, reference plotting.py:891-958)."""
@@ -200,6 +476,46 @@ def corner_plot(samples, labels=None, bins=40, figsize=None):
             ax.tick_params(labelsize=6)
     fig.subplots_adjust(hspace=0.08, wspace=0.08)
     return fig
+
+
+def plot_info_kernel(sigma_pix, nrad, clip_radius=None,
+                     out_path="info_kernel.pdf"):
+    """Visualize the independent-information convolution kernel
+    (reference plotting.py:962-990)."""
+    from nestfit_tpu.cube.products import (
+        apply_circular_mask, get_indep_info_kernel,
+    )
+
+    kernel = get_indep_info_kernel(sigma_pix, nrad=nrad)
+    if clip_radius is not None:
+        kernel = apply_circular_mask(kernel, radius=clip_radius)
+    fig, ax = plt.subplots(figsize=(4.5, 4))
+    im = ax.imshow(kernel, origin="lower", cmap="cividis")
+    fig.colorbar(im, ax=ax, label="weight")
+    ax.set_xlabel("pixel offset")
+    ax.set_ylabel("pixel offset")
+    fig.savefig(out_path, bbox_inches="tight")
+    plt.close(fig)
+    return out_path
+
+
+def plot_synth_spectra(spectra, out_path="synth_spectra.pdf"):
+    """Overview plot of synthetic truth spectra
+    (reference plotting.py:993-1028)."""
+    fig, axes = plt.subplots(
+        nrows=len(spectra), figsize=(8, 2.2 * len(spectra)), squeeze=False,
+    )
+    for ax, syn in zip(axes[:, 0], spectra):
+        ax.step(syn.varr, syn.sampled_spec, color="0.5", lw=0.7,
+                label="sampled")
+        ax.plot(syn.varr, syn.sum_spec, color="tab:red", lw=1.0,
+                label="truth")
+        ax.set_ylabel(r"$T_\mathrm{b}$ [K]")
+    axes[0, 0].legend(fontsize=7)
+    axes[-1, 0].set_xlabel(r"$v_\mathrm{lsr}$ [km/s]")
+    fig.savefig(out_path, bbox_inches="tight")
+    plt.close(fig)
+    return out_path
 
 
 def plot_amm_predict_precision(out_path="amm_precision.pdf",

@@ -33,6 +33,10 @@ class Prior:
     (reference core.pyx:169-197)."""
 
     n_param = 1
+    #: parameter rows whose unit-cube input this prior ignores (the
+    #: likelihood is flat along them; the sampler can skip bounding
+    #: those dimensions)
+    unused_param_rows = ()
 
     def __init__(self, dist: Distribution, p_ix: int):
         assert p_ix >= 0
@@ -56,6 +60,7 @@ class DuplicatePrior(Prior):
         super().__init__(dist, p_ix)
         assert p_ix_dup >= 0
         self.p_ix_dup = int(p_ix_dup)
+        self.unused_param_rows = (self.p_ix_dup,)
 
     def apply(self, theta, ncomp):
         v = ppf_interp(self.dist, theta[..., self.p_ix, :])
@@ -72,6 +77,7 @@ class ConstantPrior(Prior):
         self.value = float(value)
         self.p_ix = int(p_ix)
         self.dist = None
+        self.unused_param_rows = (self.p_ix,)
 
     def apply(self, theta, ncomp):
         return theta.at[..., self.p_ix, :].set(self.value)
@@ -259,3 +265,14 @@ class PriorTransformer:
         for prior in self.priors:
             theta = prior.apply(theta, ncomp)
         return theta.reshape(utheta.shape[:-1] + (ndim,))
+
+    def flat_dims(self, ncomp: int):
+        """Unit-cube indices the transform ignores (likelihood-flat
+        dimensions, e.g. a ConstantPrior's row or a DuplicatePrior's
+        copy row).  The sampler excludes them from its bounding
+        geometry and samples them uniformly."""
+        dims = []
+        for prior in self.priors:
+            for row in getattr(prior, "unused_param_rows", ()):
+                dims.extend(row * ncomp + i for i in range(ncomp))
+        return tuple(sorted(dims))

@@ -114,6 +114,15 @@ def fit_batch(
     """
     k_ns, k_post = random.split(key)
 
+    # likelihood-flat unit-cube dims (ConstantPrior rows etc.): let the
+    # sampler skip bounding them
+    if not config.flat_dims and runner.utrans is not None:
+        flat = getattr(runner.utrans, "flat_dims", None)
+        if flat is not None:
+            config = dataclasses.replace(
+                config, flat_dims=tuple(flat(runner.ncomp))
+            )
+
     if segment_iters and segment_iters > 0:
         if data is None:
             data = runner.data_tree()

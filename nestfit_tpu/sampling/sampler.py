@@ -91,6 +91,17 @@ class NSConfig:
     method: str = "ellipsoid"     # "ellipsoid" (fast) or "slice" (robust)
     kill_k: int = 0               # points killed per fill-cycle; 0 -> auto
     cand_factor: int = 2          # proposal candidates per kill slot
+    n_clusters: int = 3           # bounding ellipsoids per run (mmodal)
+    km_iters: int = 4             # Lloyd iterations for the clustering
+    cluster_vol_frac: float = 0.7  # use clusters only if their total
+    #                                volume beats this fraction of the
+    #                                single ellipsoid's (coverage guard)
+    cube_redraws: int = 4         # cheap redraw rounds for candidates
+    #                               that land outside the unit cube
+    flat_dims: tuple = ()         # likelihood-flat unit-cube dims
+    #                               (e.g. ConstantPrior rows): excluded
+    #                               from the bounding geometry, sampled
+    #                               uniformly
     stall_limit: int = 6          # zero-progress iters before slice fallback
     n_repeats: int = 0            # slice steps per replacement; 0 -> 2*ndim
     max_expand: int = 4           # stepping-out rounds per slice step
@@ -354,6 +365,15 @@ def ns_segment(state: _State, loglike2, data, cfg: NSConfig,
     lnw_tab = jnp.asarray(lnw_tab_np, dtype=dtype)
     rr = jnp.arange(R)
     seg_end = jnp.asarray(seg_end, jnp.int32)
+    # likelihood-flat dims are excluded from the bounding geometry
+    # (their live coordinates stay uniform on [0,1], which would blow
+    # the ellipsoid out of the cube) and sampled uniformly instead
+    act_np = np.ones(D, dtype=np.float64)
+    for fd in cfg.flat_dims:
+        if 0 <= int(fd) < D:
+            act_np[int(fd)] = 0.0
+    act = jnp.asarray(act_np, dtype=dtype)                     # [D]
+    any_flat = bool((act_np == 0.0).any())
 
     def cond(s: _State):
         return (~jnp.all(s.done)) & (s.i < seg_end)
@@ -390,10 +410,19 @@ def ns_segment(state: _State, loglike2, data, cfg: NSConfig,
         active = (~s.done) & (pending > 0)
         key, k_dir, k_rad, k_fall = random.split(s.key, 4)
 
-        mean = jnp.mean(s.u, axis=1)                           # [R, D]
-        du = s.u - mean[:, None, :]
-        cov = jnp.einsum("rld,rle->rde", du, du) / L
-        cov = cov + cfg.cov_reg * jnp.eye(D, dtype=dtype)
+        # bounding-ellipsoid moments over the *surviving* live points
+        # only: zombie slots hold already-killed points below the
+        # threshold (the outermost shell) and would inflate the bound
+        live_w = (~zombie).astype(dtype)                       # [R, L]
+        n_live = jnp.maximum(jnp.sum(live_w, axis=1), 1.0)     # [R]
+        mean = jnp.einsum("rl,rld->rd", live_w, s.u) / n_live[:, None]
+        du = (s.u - mean[:, None, :]) * live_w[..., None] * act
+        cov = jnp.einsum("rld,rle->rde", du, du) / n_live[:, None, None]
+        # flat dims: unit diagonal so the Cholesky stays well-scaled;
+        # they carry no cross terms (du is zeroed there)
+        cov = cov + jnp.diag(
+            jnp.where(act > 0, cfg.cov_reg, 1.0).astype(dtype)
+        )
         chol = jnp.linalg.cholesky(cov)                        # [R, D, D]
 
         def clipped_eval(xp):
@@ -405,18 +434,191 @@ def ns_segment(state: _State, loglike2, data, cfg: NSConfig,
         zorder = jnp.argsort(~zombie, axis=1, stable=True)     # [R, L]
 
         if cfg.method == "ellipsoid":
-            dz = jax.scipy.linalg.solve_triangular(
-                chol, jnp.swapaxes(du, 1, 2), lower=True
+            # --- multi-ellipsoid bound: cluster the surviving live
+            # points, fit one bounding ellipsoid per cluster, sample
+            # candidates from the union (volume-proportional cluster
+            # choice + 1/n_overlap thinning keeps the proposal uniform
+            # over the union) -- the vectorizable analogue of
+            # MultiNest's multimodal ellipsoidal decomposition
+            # (reference core.pyx:746-747)
+            KC = max(1, cfg.n_clusters)
+            km_iters = max(1, cfg.km_iters)
+            key, k_cl, k_ov = random.split(key, 3)
+
+            # k-means over non-zombie points, centers seeded from
+            # evenly-spaced survivors (zorder lists zombies first)
+            seed_frac = jnp.linspace(0.0, 1.0, KC)[None, :]
+            seed_pos = (L - 1 - seed_frac * (n_live[:, None] - 1.0))
+            seed_pos = jnp.clip(seed_pos.astype(jnp.int32), 0, L - 1)
+            seed_ix = jnp.take_along_axis(zorder, seed_pos, axis=1)
+            centers = jnp.take_along_axis(
+                s.u, seed_ix[..., None], axis=1
+            )                                                   # [R, KC, D]
+            big = jnp.asarray(1e10, dtype=dtype)
+            for _ in range(km_iters):
+                d2 = jnp.sum(
+                    ((s.u[:, :, None, :] - centers[:, None, :, :]) * act)
+                    ** 2,
+                    axis=-1,
+                )                                               # [R, L, KC]
+                assign = jnp.argmin(d2, axis=-1)                # [R, L]
+                member = (
+                    assign[..., None] == jnp.arange(KC)[None, None, :]
+                ) & (~zombie)[..., None]
+                wk = member.astype(dtype)                       # [R, L, KC]
+                cnt = jnp.sum(wk, axis=1)                       # [R, KC]
+                new_c = jnp.einsum("rlk,rld->rkd", wk, s.u)
+                new_c = new_c / jnp.maximum(cnt, 1.0)[..., None]
+                # keep empty clusters where they were
+                centers = jnp.where((cnt > 0)[..., None], new_c, centers)
+
+            # per-cluster moments, shrunk toward the global covariance
+            # when the cluster is too small to estimate its own
+            mu_k = centers
+            du_k = (
+                (s.u[:, :, None, :] - mu_k[:, None]) * wk[..., None] * act
+            )
+            cov_k = jnp.einsum("rlkd,rlke->rkde", du_k, du_k)
+            cov_k = cov_k / jnp.maximum(cnt, 1.0)[..., None, None]
+            lam = jnp.clip((D + 1.0 - cnt) / (D + 1.0), 0.0, 1.0)
+            cov_k = (
+                (1.0 - lam)[..., None, None] * cov_k
+                + lam[..., None, None] * cov[:, None]
+            )
+            # re-mask flat rows/cols (the blend re-introduces the
+            # global's unit flat diagonal), then pin them to 1
+            cov_k = cov_k * (act[:, None] * act[None, :])
+            cov_k = cov_k + jnp.diag(
+                jnp.where(act > 0, cfg.cov_reg, 1.0).astype(dtype)
+            )
+            chol_k = jnp.linalg.cholesky(cov_k)                 # [R,KC,D,D]
+            # radius covers every point assigned to the cluster,
+            # zombies included (threshold-shell coverage, as above)
+            wr = (
+                assign[..., None] == jnp.arange(KC)[None, None, :]
+            ).astype(dtype)
+            du_rk = (
+                (s.u[:, :, None, :] - mu_k[:, None]) * wr[..., None] * act
+            )
+            dz_k = jax.scipy.linalg.solve_triangular(
+                chol_k, jnp.swapaxes(du_rk, 1, 2).swapaxes(2, 3),
+                lower=True,
+            )                                                   # [R,KC,D,L]
+            rmax_k = jnp.sqrt(jnp.max(jnp.sum(dz_k**2, axis=2), axis=-1))
+            rmax_k = jnp.maximum(rmax_k, 0.1) * cfg.ell_fudge   # [R, KC]
+
+            # global single ellipsoid.  Shape (mean/cov) comes from the
+            # survivors, but the radius must cover the zombie shell
+            # too: the killed points straddle the threshold contour, so
+            # bounding only the surviving interior points truncates the
+            # contour boundary and biases lnZ high (verified at D=12).
+            du_all = (s.u - mean[:, None, :]) * act
+            dz_g = jax.scipy.linalg.solve_triangular(
+                chol, jnp.swapaxes(du_all, 1, 2), lower=True
             )                                                   # [R, D, L]
-            rmax = jnp.sqrt(jnp.max(jnp.sum(dz * dz, axis=1), axis=1))
-            rmax = rmax * cfg.ell_fudge                         # [R]
-            y = random.normal(k_dir, (T, R, D), dtype=dtype)
-            y = y / jnp.linalg.norm(y, axis=-1, keepdims=True)
-            rad = random.uniform(k_rad, (T, R), dtype=dtype) ** (1.0 / D)
-            z = (rmax * rad)[..., None] * y
-            cand = mean + jnp.einsum("rde,tre->trd", chol, z)   # [T, R, D]
+            rmax_g = jnp.sqrt(jnp.max(jnp.sum(dz_g**2, axis=1), axis=1))
+            rmax_g = jnp.maximum(rmax_g, 0.1) * cfg.ell_fudge   # [R]
+
+            d_act = float(act_np.sum())
+
+            def ell_lnvol(rmax, chol_m):
+                # volume over the active dims only (flat dims have unit
+                # diagonal and are sampled uniformly regardless)
+                return d_act * jnp.log(rmax) + jnp.sum(
+                    jnp.log(jnp.diagonal(chol_m, axis1=-2, axis2=-1))
+                    * act,
+                    axis=-1,
+                )
+
+            lnvol_k = jnp.where(cnt > 0, ell_lnvol(rmax_k, chol_k), -big)
+            lnvol_g = ell_lnvol(rmax_g, chol)                   # [R]
+
+            # coverage guard (MultiNest's decomposition rule): use the
+            # cluster set only where its total volume is genuinely
+            # smaller than the single bounding ellipsoid -- k-means
+            # cells of a unimodal cloud leave inter-cell gaps, so the
+            # single ellipsoid is the safe default
+            lnvol_sum = jax.scipy.special.logsumexp(lnvol_k, axis=-1)
+            use_multi = lnvol_sum < lnvol_g + float(
+                np.log(cfg.cluster_vol_frac)
+            )                                                   # [R]
+
+            # ellipsoid set: index 0 = global, 1.. = clusters
+            mu_all = jnp.concatenate([mean[:, None], mu_k], axis=1)
+            chol_all = jnp.concatenate([chol[:, None], chol_k], axis=1)
+            rmax_all = jnp.concatenate([rmax_g[:, None], rmax_k], axis=1)
+            act_ell = jnp.concatenate([
+                (~use_multi)[:, None],
+                use_multi[:, None] & (cnt > 0),
+            ], axis=1)                                          # [R, KC+1]
+            lnvol_all = jnp.where(
+                act_ell,
+                jnp.concatenate([lnvol_g[:, None], lnvol_k], axis=1),
+                -big,
+            )
+
+            # volume-proportional ellipsoid choice per candidate, with
+            # cheap redraw rounds for candidates that land outside the
+            # unit cube: a draw costs einsums, an evaluated-but-doomed
+            # candidate costs a likelihood slot.  Redrawing the whole
+            # (ellipsoid, point) pair keeps the proposal uniform over
+            # union-intersect-cube.
+            d_exp = 1.0 / max(d_act, 1.0)
+
+            def draw_round(k_j):
+                kd, kr, kg = random.split(k_j, 3)
+                gmb = random.gumbel(kg, (T, R, KC + 1), dtype=dtype)
+                kc = jnp.argmax(gmb + lnvol_all[None], axis=-1)  # [T, R]
+                chol_sel = jnp.take_along_axis(
+                    chol_all, kc.T[..., None, None], axis=1
+                )                                               # [R,T,D,D]
+                mu_sel = jnp.take_along_axis(
+                    mu_all, kc.T[..., None], axis=1
+                )                                               # [R, T, D]
+                r_sel = jnp.take_along_axis(rmax_all, kc.T, axis=1)
+                y = random.normal(kd, (T, R, D), dtype=dtype) * act
+                y = y / jnp.maximum(
+                    jnp.linalg.norm(y, axis=-1, keepdims=True), 1e-30
+                )
+                rad = random.uniform(kr, (T, R), dtype=dtype) ** d_exp
+                z = (r_sel.T * rad)[..., None] * y
+                xj = mu_sel.swapaxes(0, 1) + jnp.einsum(
+                    "rtde,tre->trd", chol_sel, z
+                )                                               # [T, R, D]
+                in_j = jnp.all(
+                    ((xj >= 0.0) & (xj <= 1.0)) | (act <= 0.0), axis=-1
+                )
+                return xj, in_j
+
+            k_rounds = random.split(k_cl, max(1, cfg.cube_redraws))
+            cand, got = draw_round(k_rounds[0])
+            for k_j in k_rounds[1:]:
+                xj, in_j = draw_round(k_j)
+                fresh = (~got) & in_j
+                cand = jnp.where(fresh[..., None], xj, cand)
+                got = got | in_j
+            if any_flat:
+                # flat dims: uniform draw, independent of the ellipsoid
+                uflat = random.uniform(k_rad, (T, R, D), dtype=dtype)
+                cand = jnp.where(act > 0, cand, uflat)
+
+            # overlap thinning: accept with probability 1/n_ellipsoids
+            # containing the candidate (keeps the union uniform)
+            inv_chol = jax.scipy.linalg.solve_triangular(
+                chol_all, jnp.broadcast_to(
+                    jnp.eye(D, dtype=dtype), (R, KC + 1, D, D)
+                ), lower=True,
+            )                                                   # [R,KC+1,D,D]
+            xc = (cand[:, :, None, :] - mu_all[None]) * act     # [T,R,KC+1,D]
+            m2 = jnp.sum(
+                jnp.einsum("rkde,trke->trkd", inv_chol, xc) ** 2, axis=-1
+            )                                                   # [T,R,KC+1]
+            inside = (m2 <= rmax_all[None] ** 2) & act_ell[None]
+            n_e = jnp.maximum(jnp.sum(inside, axis=-1), 1)      # [T, R]
+            thin = random.uniform(k_ov, (T, R), dtype=dtype) * n_e < 1.0
+
             cand_lnl = clipped_eval(cand)                       # [T, R]
-            okc = (cand_lnl > thresh) & active[None, :]
+            okc = (cand_lnl > thresh) & active[None, :] & thin
             n_eval = T
         else:
             # slice method: one slice chain per run yields one
@@ -433,7 +635,7 @@ def ns_segment(state: _State, loglike2, data, cfg: NSConfig,
                 x, lnl_x, ncall, key = carry
                 key, kd, ks = random.split(key, 3)
                 nvec = random.normal(kd, (R, D), dtype=dtype)
-                dirv = jnp.einsum("rde,re->rd", chol, nvec)
+                dirv = jnp.einsum("rde,re->rd", chol, nvec) * act
                 step = _shrink_step(
                     loglike2, data, shift, x, lnl_x, dirv, thresh,
                     ~active, cfg,
@@ -494,7 +696,7 @@ def ns_segment(state: _State, loglike2, data, cfg: NSConfig,
                 x, lnl_x, ncall, key, got = carry
                 key, kd, ks = random.split(key, 3)
                 nvec = random.normal(kd, (R, D), dtype=dtype)
-                dirv = jnp.einsum("rde,re->rd", chol, nvec)
+                dirv = jnp.einsum("rde,re->rd", chol, nvec) * act
                 step = _shrink_step(
                     loglike2, data, shift, x, lnl_x, dirv, thresh,
                     ~stalled, cfg,
@@ -658,20 +860,40 @@ def _get_segment_jits(loglike2, cfg, ndim, n_runs, dtype):
 
 
 def _gather_rows(tree, idx, n_rows):
-    """Gather leading-axis rows of every per-run leaf (host-side).
+    """Gather leading-axis rows of every per-run leaf, on device.
 
     Leaves whose leading axis is not the run axis (scalars, typed PRNG
-    keys, unbatched data) pass through untouched.
+    keys, unbatched data) pass through untouched.  ``idx`` may be a
+    numpy array; the gather itself runs on device so no large buffers
+    cross the host boundary (device transfers can be very slow on
+    remote-tunneled workers).
     """
+    idx = jnp.asarray(idx)
+
     def g(x):
         if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jax.dtypes.prng_key):
             return x
-        x = np.asarray(x)
-        if x.ndim >= 1 and x.shape[0] == n_rows:
-            return x[idx]
+        if getattr(x, "ndim", 0) >= 1 and x.shape[0] == n_rows:
+            return jnp.asarray(x)[idx]
         return x
 
     return jax.tree_util.tree_map(g, tree)
+
+
+def _scatter_rows(acc, cur, idx, n_acc):
+    """Scatter ``cur``'s run rows into accumulator ``acc`` at positions
+    ``idx`` (on device; rows with ``idx < 0`` are dropped).  Scalar
+    leaves (PRNG key, loop counter) are taken from ``cur``."""
+    idx = jnp.asarray(np.where(idx >= 0, idx, n_acc))
+
+    def sc(a, c):
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jax.dtypes.prng_key):
+            return c
+        if getattr(a, "ndim", 0) >= 1 and a.shape[0] == n_acc:
+            return jnp.asarray(a).at[idx].set(c, mode="drop")
+        return c
+
+    return jax.tree_util.tree_map(sc, acc, cur)
 
 
 def run_nested(
@@ -724,41 +946,43 @@ def run_nested(
     )
     state = init_j(key, data)
 
-    # host loop with straggler compaction: parked rows (finished) are
-    # pulled to host; active rows continue in a smaller batch
+    # Host loop with straggler compaction.  All row movement happens on
+    # device: ``acc`` is a full-size accumulator state that receives
+    # the compacted batch's rows (by original index) at every
+    # re-batching, so finished runs are never shipped to the host
+    # (remote-tunneled workers transfer at MB/s).  The host only ever
+    # fetches the [R] ``done`` mask and the loop counter.
+    acc = state                           # full-size accumulator
     orig_idx = np.arange(n_runs)          # current row -> original run
-    parked = []                           # (orig_indices, host-state rows)
+    compacted = False
     cur_data = data
     r_cur = n_runs
-    # hard iteration cap: deaths advance by kill_k per fill-cycle; a
-    # generous multiple of the minimum iteration count bounds stalls
     iter_cap = cfg.max_iter
     while True:
         i = int(state.i)
         done_np = np.asarray(state.done)
         if done_np.all() or i >= iter_cap:
             break
-        n_active = int((~done_np).sum())
+        active_rows = np.flatnonzero(~done_np)
+        n_active = active_rows.size
         r_new = max(cfg.min_compact, 1 << max(0, (n_active - 1).bit_length()))
         if compact and n_active > 0 and r_new <= r_cur // 2:
-            host = jax.device_get(state)
-            act = np.flatnonzero(~done_np)
-            fin = np.flatnonzero(done_np)
-            parked.append((orig_idx[fin], _gather_rows(host, fin, r_cur)))
-            # pad the active set to the power-of-two batch with copies
-            # of the first active row, marked done (frozen + discarded)
-            pad = np.full(r_new - len(act), act[0], dtype=np.int64)
-            sel = np.concatenate([act, pad])
-            new_host = _gather_rows(host, sel, r_cur)
-            new_host = dataclasses.replace(
-                new_host,
-                done=np.concatenate(
-                    [np.zeros(len(act), bool), np.ones(len(pad), bool)]
-                ),
+            # bank the current rows into the accumulator, then carry
+            # on with just the active runs (padded to a power of two
+            # with copies of the first active row, marked done)
+            acc = _scatter_rows(acc, state, orig_idx, n_runs)
+            compacted = True
+            pad = np.full(r_new - n_active, active_rows[0], dtype=np.int64)
+            sel = np.concatenate([active_rows, pad])
+            state = _gather_rows(state, sel, r_cur)
+            state = dataclasses.replace(
+                state,
+                done=jnp.asarray(np.concatenate(
+                    [np.zeros(n_active, bool), np.ones(len(pad), bool)]
+                )),
             )
-            state = jax.tree_util.tree_map(jnp.asarray, new_host)
             orig_idx = np.concatenate(
-                [orig_idx[act], np.full(len(pad), -1, dtype=np.int64)]
+                [orig_idx[active_rows], np.full(len(pad), -1, dtype=np.int64)]
             )
             cur_data = _gather_rows(cur_data, sel, r_cur)
             r_cur = r_new
@@ -768,24 +992,7 @@ def run_nested(
         state = seg_j(state, cur_data,
                       jnp.int32(min(i + segment_iters, iter_cap)))
 
-    if parked:
-        host = jax.device_get(state)
-        parked.append((orig_idx, _gather_rows(host, np.arange(r_cur), r_cur)))
-        # drop padding rows (orig index -1) parked by later compactions
-        parked = [
-            (idx[idx >= 0], _gather_rows(rows, np.flatnonzero(idx >= 0),
-                                         len(idx)))
-            for idx, rows in parked
-        ]
-        all_idx = np.concatenate([p[0] for p in parked])
-        order = np.argsort(all_idx)
-        assert len(all_idx) == n_runs, (len(all_idx), n_runs)
-
-        def merge(*leaves):
-            if getattr(leaves[0], "ndim", 0) == 0:
-                return jnp.asarray(leaves[-1])
-            return jnp.asarray(np.concatenate(leaves, axis=0)[order])
-
-        state = jax.tree_util.tree_map(merge, *[p[1] for p in parked])
+    if compacted:
+        state = _scatter_rows(acc, state, orig_idx, n_runs)
         _, _, fin_j = _get_segment_jits(loglike2, cfg, ndim, n_runs, dtype)
     return fin_j(state)

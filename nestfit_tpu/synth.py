@@ -48,6 +48,15 @@ class SyntheticSpectrum:
         self.noise_spec = self.calc_noise()
         self.sampled_spec = self.sum_spec + self.noise_spec
 
+    @property
+    def varr(self):
+        """Velocity axis (km/s) for plotting."""
+        from nestfit_tpu.models.tables import AMMONIA_TRANSITIONS
+        from nestfit_tpu.utils import velocity_axis_from_freq
+
+        rest = AMMONIA_TRANSITIONS[self.trans_id - 1].nu
+        return velocity_axis_from_freq(self.xarr, rest)
+
     def calc_profiles(self):
         n = self.ncomp
         comps = []

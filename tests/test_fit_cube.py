@@ -149,3 +149,57 @@ def test_postprocess_products(synth_stack, fitted_store_name, tmp_path):
         finally:
             os.chdir(cwd)
         assert len(paths) == 2
+
+
+@pytest.mark.slow
+def test_store_plotter(synth_stack, fitted_store_name, tmp_path):
+    """Every StorePlotter product renders from a fitted store
+    (reference plotting.py:343-990 inventory)."""
+    from nestfit_tpu.cube.products import postprocess_run, extended_masked_evidence
+    from nestfit_tpu.plotting import StorePlotter, plot_info_kernel
+
+    stack, params = synth_stack
+    with HdfStore(fitted_store_name) as store:
+        runner = AmmoniaRunner(
+            tuple(
+                AmmoniaRunner.model.make_model_spectrum(
+                    c.xarr, np.zeros_like(c.xarr), 0.1, trans_id=c.trans_id
+                )
+                for c in stack.cubes
+            ),
+            None, ncomp=1,
+        )
+        if "/products/conv_marginals" not in store.hdf:
+            postprocess_run(store, stack, runner, evid_kernel=1.0,
+                            post_kernel=1.0)
+        extended_masked_evidence(store, 1.0)
+        sp = StorePlotter(store, plot_dir=tmp_path / "plots")
+        made = [
+            sp.plot_nbest(),
+            sp.plot_nbest(name="map_conv_nbest", conv=True),
+            sp.plot_evidence_diff(),
+            sp.plot_mext_evidence(),
+            sp.plot_ncomp_metrics(),
+            sp.plot_map_props(),
+            sp.plot_quan_props(),
+            sp.plot_err_props(),
+            sp.plot_param_map(0, kind="MAP"),
+            sp.plot_param_map(0, kind="median"),
+            sp.plot_param_map(0, kind="error"),
+            sp.plot_intensity(kind="peak"),
+            sp.plot_intensity(kind="int"),
+            sp.plot_3d_volume(),
+            sp.plot_post_stack(0, 0),
+            sp.plot_spec_fit(0, 0, stack, runner),
+            sp.plot_spec_fit_draws(0, 0, stack, runner, n_draw=5,
+                                   animate=True),
+            sp.plot_spec_grid(stack, (1, 1), rlon=1, rlat=1),
+            sp.plot_velo_2corr(0, 0),
+            sp.plot_corner(0, 0),
+        ]
+        for path in made:
+            assert path.exists(), path
+    kpath = plot_info_kernel(1.5, 3, clip_radius=3,
+                             out_path=str(tmp_path / "ik.pdf"))
+    import os
+    assert os.path.exists(kpath)
