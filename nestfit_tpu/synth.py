@@ -191,3 +191,91 @@ def make_synth_cube_arrays(n_pix=1024, noise=0.1, rng=None, kind=0,
     d11 += rng.normal(scale=noise, size=d11.shape)
     d22 += rng.normal(scale=noise, size=d22.shape)
     return (xa11, d11), (xa22, d22), pcube
+
+
+def make_fake_header(n_lon, n_lat, xarr, rms=None, rest_freq=None):
+    """Minimal 3-axis FITS header for a synthetic cube (the role of
+    the reference's ``make_fake_header``, synth_spectra.py:12-37)."""
+    xarr = np.asarray(xarr)
+    header = {
+        "SIMPLE": True,
+        "BITPIX": -32,
+        "NAXIS": 3,
+        "NAXIS1": int(n_lon),
+        "NAXIS2": int(n_lat),
+        "NAXIS3": int(xarr.size),
+        "CTYPE1": "RA---TAN", "CRPIX1": 1.0, "CRVAL1": 0.0,
+        "CDELT1": -2.8e-4, "CUNIT1": "deg",
+        "CTYPE2": "DEC--TAN", "CRPIX2": 1.0, "CRVAL2": 0.0,
+        "CDELT2": 2.8e-4, "CUNIT2": "deg",
+        "CTYPE3": "FREQ", "CRPIX3": 1.0, "CRVAL3": float(xarr[0]),
+        "CDELT3": float(xarr[1] - xarr[0]), "CUNIT3": "Hz",
+        "BUNIT": "K",
+        "RADESYS": "ICRS",
+        "EQUINOX": 2000.0,
+    }
+    if rest_freq is not None:
+        header["RESTFRQ"] = float(rest_freq)
+    if rms is not None:
+        header["RMS"] = float(rms)
+    return header
+
+
+def make_indep_synth_cube(outdir="run/synth", im_shape=(8, 4096),
+                          noise_levels=None, rng=None,
+                          sampler_kwargs=None):
+    """Write synthetic NH3 (1,1)/(2,2) FITS cube pairs at a ladder of
+    noise levels, plus the truth-parameter and peak-intensity cubes
+    (the recovery-study harness of reference synth_spectra.py:195-236;
+    noise ladder ``linspace(0, 0.5, 11)`` per the reference).
+
+    Every pixel carries an independent 2-component truth draw from
+    :class:`ParamSampler`.  Returns a dict with the written paths:
+    ``{"params": ..., "peak": ..., "cubes": {rms: (path11, path22)}}``.
+    """
+    from pathlib import Path
+
+    from nestfit_tpu.cube.fits_io import write_fits
+
+    outdir = Path(outdir)
+    outdir.mkdir(parents=True, exist_ok=True)
+    if noise_levels is None:
+        noise_levels = np.linspace(0.0, 0.5, 11)
+    rng = rng if rng is not None else np.random.default_rng(5)
+    n_lat, n_lon = im_shape
+    n_pix = n_lat * n_lon
+    (xa11, d11), (xa22, d22), pcube = make_synth_cube_arrays(
+        n_pix=n_pix, noise=0.0, rng=rng, sampler_kwargs=sampler_kwargs,
+    )
+    pkcube = np.stack(
+        [d11.max(axis=1), d22.max(axis=1)], axis=1
+    )                                                   # [n_pix, 2]
+
+    # FITS layout: spectral axis first, (S, b, l)
+    cube11 = d11.reshape(n_lat, n_lon, -1).transpose(2, 0, 1)
+    cube22 = d22.reshape(n_lat, n_lon, -1).transpose(2, 0, 1)
+    paths = {"cubes": {}}
+    pdata = pcube.reshape(n_lat, n_lon, -1).transpose(2, 0, 1)
+    paths["params"] = str(outdir / "syn_params.fits")
+    write_fits(paths["params"], pdata.astype(np.float32),
+               make_fake_header(n_lon, n_lat, np.arange(pdata.shape[0])))
+    pkdata = pkcube.reshape(n_lat, n_lon, -1).transpose(2, 0, 1)
+    paths["peak"] = str(outdir / "syn_peak.fits")
+    write_fits(paths["peak"], pkdata.astype(np.float32),
+               make_fake_header(n_lon, n_lat, np.arange(2)))
+    for std in np.asarray(noise_levels):
+        pair = []
+        for tag, cube, xarr, trans in (
+            ("11", cube11, xa11, AMMONIA_TRANSITIONS[0]),
+            ("22", cube22, xa22, AMMONIA_TRANSITIONS[1]),
+        ):
+            noisy = cube + rng.normal(scale=std, size=cube.shape) \
+                if std > 0 else cube
+            header = make_fake_header(
+                n_lon, n_lat, xarr, rms=float(std), rest_freq=trans.nu
+            )
+            path = str(outdir / f"syn_{tag}_rms{std:.3f}.fits")
+            write_fits(path, noisy.astype(np.float32), header)
+            pair.append(path)
+        paths["cubes"][float(std)] = tuple(pair)
+    return paths
