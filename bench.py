@@ -19,7 +19,10 @@ documented estimate of 0.5 ladder-fits/s/core (reference
 docs/overview.rst:7-11 implies ~5e3 likelihood evals/fit at a few us
 plus sampler overhead).
 
-Prints exactly one JSON line on stdout.
+Budgeted: the whole script respects BENCH_BUDGET_S (default 1500 s)
+and always prints exactly one JSON line on stdout, falling back to the
+warmup-run timing (which includes compilation) when the budget cannot
+fit a clean timed pass.
 """
 
 import json
@@ -30,10 +33,16 @@ import time
 import numpy as np
 
 CPU_FITS_PER_SEC_FALLBACK = 0.5
+T_START = time.perf_counter()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def remaining():
+    return BUDGET_S - (time.perf_counter() - T_START)
 
 
 def main():
@@ -41,7 +50,20 @@ def main():
     nlive = int(os.environ.get("BENCH_NLIVE", "100"))
     seed = int(os.environ.get("BENCH_SEED", "5"))
 
+    # persistent compile cache: repeated bench runs on the same machine
+    # skip recompilation (harmless if the backend ignores it)
     import jax
+
+    try:
+        cache_dir = os.environ.get(
+            "BENCH_CACHE_DIR", os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), ".jax_cache")
+        )
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception as exc:
+        log(f"bench: no persistent compile cache ({exc})")
+
     import jax.numpy as jnp
     from jax import random
 
@@ -52,7 +74,7 @@ def main():
     from nestfit_tpu.sampling.fit import fit_batch
     from nestfit_tpu.synth import make_synth_cube_arrays
 
-    log(f"bench: devices={jax.devices()}")
+    log(f"bench: devices={jax.devices()} budget={BUDGET_S:.0f}s")
     log(f"bench: generating {n_pix}px synthetic NH3 (1,1)+(2,2) cube ...")
     noise = 0.15
     (xa11, d11), (xa22, d22), truth = make_synth_cube_arrays(
@@ -87,13 +109,22 @@ def main():
     t0 = time.perf_counter()
     r1, r2 = ladder(random.key(0))
     jax.block_until_ready((r1.lnz, r2.lnz))
-    t_compile = time.perf_counter() - t0
-    log(f"bench: warmup (incl. compile) {t_compile:.1f}s")
+    t_warm = time.perf_counter() - t0
+    log(f"bench: warmup (incl. compile) {t_warm:.1f}s "
+        f"(budget left {remaining():.0f}s)")
 
-    t0 = time.perf_counter()
-    r1, r2 = ladder(random.key(seed))
-    jax.block_until_ready((r1.lnz, r2.lnz))
-    elapsed = time.perf_counter() - t0
+    # clean timed pass only if the budget can hold it (warmup minus
+    # compile is the lower bound; be conservative)
+    timed_clean = remaining() > 0.8 * t_warm + 120
+    if timed_clean:
+        t0 = time.perf_counter()
+        r1, r2 = ladder(random.key(seed))
+        jax.block_until_ready((r1.lnz, r2.lnz))
+        elapsed = time.perf_counter() - t0
+    else:
+        log("bench: budget too tight for a clean pass; "
+            "reporting warmup timing (includes compile)")
+        elapsed = t_warm
 
     lnz1 = np.asarray(r1.lnz)
     lnz2 = np.asarray(r2.lnz)
@@ -120,17 +151,18 @@ def main():
     cpu_rate = measure_cpu_baseline(xa11, d11, xa22, d22, noise, nlive)
     log(f"bench: CPU baseline {cpu_rate:.3f} ladder-fits/s/core")
 
-    print(json.dumps({
+    return {
         "metric": "spectra_fit_per_sec_per_chip",
         "value": round(fits_per_sec, 3),
         "unit": "ladder-fits/s/chip",
         "vs_baseline": round(fits_per_sec / cpu_rate, 2),
-    }))
+    }
 
 
 def measure_cpu_baseline(xa11, d11, xa22, d22, noise, nlive,
                          n_sample=None):
-    """Single-core sequential C++ ladder rate on a pixel sample."""
+    """Single-core sequential C++ ladder rate on a pixel sample,
+    time-boxed to the remaining budget."""
     try:
         from nestfit_tpu import native
         from nestfit_tpu.priors import get_irdc_priors
@@ -138,26 +170,47 @@ def measure_cpu_baseline(xa11, d11, xa22, d22, noise, nlive,
         if not native.available():
             raise RuntimeError("native lib unavailable")
         n_sample = n_sample or int(os.environ.get("BENCH_CPU_PIXELS", "6"))
+        box_s = min(float(os.environ.get("BENCH_CPU_BUDGET_S", "240")),
+                    max(remaining() - 30, 30))
         utrans = get_irdc_priors(vsys=0.0)
         ppf1 = native.bindings.ppf_tables_from_utrans(utrans, 1)
         ppf2 = native.bindings.ppf_tables_from_utrans(utrans, 2)
         t0 = time.perf_counter()
+        done = 0
         for i in range(n_sample):
             spec_data = [
                 (xa11, d11[i], noise, 1), (xa22, d22[i], noise, 2),
             ]
-            r1 = native.ns_spectral_ammonia(
+            native.ns_spectral_ammonia(
                 spec_data, ppf1, ncomp=1, nlive=nlive, tol=1.0, seed=i,
             )
             native.ns_spectral_ammonia(
                 spec_data, ppf2, ncomp=2, nlive=nlive, tol=1.0, seed=i,
             )
+            done += 1
+            if time.perf_counter() - t0 > box_s:
+                break
         dt = time.perf_counter() - t0
-        return n_sample / dt
+        if done == 0:
+            raise RuntimeError("no baseline pixel finished in budget")
+        return done / dt
     except Exception as exc:  # pragma: no cover
         log(f"bench: CPU baseline unavailable ({exc}); using fallback")
         return CPU_FITS_PER_SEC_FALLBACK
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        result = main()
+    except Exception as exc:  # always emit the JSON line
+        log(f"bench: FAILED: {exc!r}")
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        result = {
+            "metric": "spectra_fit_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "ladder-fits/s/chip",
+            "vs_baseline": 0.0,
+        }
+    print(json.dumps(result))

@@ -102,10 +102,12 @@ class NSConfig:
     #                               (e.g. ConstantPrior rows): excluded
     #                               from the bounding geometry, sampled
     #                               uniformly
-    stall_limit: int = 6          # zero-progress iters before slice fallback
+    block_iters: int = 16         # candidate iterations between
+    #                               slice-fill passes
+    stall_limit: int = 2          # retained for API compat (unused)
     n_repeats: int = 0            # slice steps per replacement; 0 -> 2*ndim
-    max_expand: int = 4           # stepping-out rounds per slice step
-    max_contract: int = 12        # shrinkage rounds per slice step
+    max_expand: int = 3           # stepping-out rounds per slice step
+    max_contract: int = 8         # shrinkage rounds per slice step
     step_scale: float = 2.0       # initial slice width (whitened units)
     cov_reg: float = 1e-10        # covariance diagonal regularizer
     ell_fudge: float = 1.1        # ellipsoid enlargement over max Mahalanobis
@@ -229,7 +231,9 @@ class NSResult:
 def _shrink_step(loglike2, data, shift, x0, lnl0, dirv, lnl_star, done, cfg):
     """One slice: stepping-out then shrinkage along direction ``dirv``.
 
-    x0/lnl0: current chain point [R, D]/[R] (satisfies lnl0 > lnl_star).
+    x0/lnl0: current chain point [..., D]/[...] (satisfies
+    lnl0 > lnl_star); arbitrary leading batch dims (the multi-chain
+    fallback batches ``[n_chains, R]`` chains through one launch).
     """
 
     def clipped_eval(xp):
@@ -254,8 +258,8 @@ def _shrink_step(loglike2, data, shift, x0, lnl0, dirv, lnl_star, done, cfg):
 
         def expand_body(carry):
             j, t_lo, t_hi, open_lo, open_hi, ncall = carry
-            lnl_lo = clipped_eval(x0 + t_lo[:, None] * dirv)
-            lnl_hi = clipped_eval(x0 + t_hi[:, None] * dirv)
+            lnl_lo = clipped_eval(x0 + t_lo[..., None] * dirv)
+            lnl_hi = clipped_eval(x0 + t_hi[..., None] * dirv)
             open_lo = open_lo & (lnl_lo > lnl_star)
             open_hi = open_hi & (lnl_hi > lnl_star)
             t_lo = jnp.where(open_lo, t_lo - w, t_lo)
@@ -281,11 +285,11 @@ def _shrink_step(loglike2, data, shift, x0, lnl0, dirv, lnl_star, done, cfg):
             t = t_lo + (t_hi - t_lo) * random.uniform(
                 kt, lnl_star.shape, dtype=x0.dtype
             )
-            xp = x0 + t[:, None] * dirv
+            xp = x0 + t[..., None] * dirv
             lnlp = clipped_eval(xp)
             ok = lnlp > lnl_star
             newly = ok & ~acc
-            x = jnp.where(newly[:, None], xp, x)
+            x = jnp.where(newly[..., None], xp, x)
             lnl = jnp.where(newly, lnlp, lnl)
             acc = acc | ok
             miss = ~acc
@@ -346,13 +350,16 @@ def ns_init(key, loglike2, data, ndim: int, n_runs: int, cfg: NSConfig,
     )
 
 
-def ns_segment(state: _State, loglike2, data, cfg: NSConfig,
-               seg_end) -> _State:
-    """Advance all runs until ``i >= seg_end`` or every run is done.
+def _segment_core(state: _State, loglike2, data, cfg: NSConfig,
+                  seg_end) -> _State:
+    """Advance all runs until ``i >= seg_end`` or every run is done,
+    using kill/record + ellipsoid-candidate proposals only.
 
     One iteration of the loop body = one kill/record step (for runs
     whose previous fill-cycle completed) + one proposal round (a single
     batched candidate evaluation) + fills + termination checks.
+    ``ns_segment`` interleaves this with ``ns_slice_fill`` passes that
+    rescue runs whose candidate acceptance collapsed.
     """
     R, L, D = state.u.shape
     cfg = cfg.resolved(D)
@@ -557,6 +564,15 @@ def ns_segment(state: _State, loglike2, data, cfg: NSConfig,
                 -big,
             )
 
+            # Early phase: while the bounding ellipsoid is still larger
+            # than the unit cube (an ellipsoid enclosing a near-full
+            # cube has ~(sqrt(D)/2)^D * V_ball(D) times its volume --
+            # hundreds at D=10), sampling the *prior cube* uniformly is
+            # both correct (the cube always contains the contour) and
+            # vastly more efficient.  This mirrors MultiNest's
+            # prior-sampling start-up phase.
+            use_cube = lnvol_g >= 0.0                           # [R]
+
             # volume-proportional ellipsoid choice per candidate, with
             # cheap redraw rounds for candidates that land outside the
             # unit cube: a draw costs einsums, an evaluated-but-doomed
@@ -590,17 +606,18 @@ def ns_segment(state: _State, loglike2, data, cfg: NSConfig,
                 )
                 return xj, in_j
 
-            k_rounds = random.split(k_cl, max(1, cfg.cube_redraws))
+            k_rounds = random.split(k_cl, max(1, cfg.cube_redraws) + 1)
             cand, got = draw_round(k_rounds[0])
-            for k_j in k_rounds[1:]:
+            for k_j in k_rounds[1:-1]:
                 xj, in_j = draw_round(k_j)
                 fresh = (~got) & in_j
                 cand = jnp.where(fresh[..., None], xj, cand)
                 got = got | in_j
+            ucube = random.uniform(k_rounds[-1], (T, R, D), dtype=dtype)
+            cand = jnp.where(use_cube[None, :, None], ucube, cand)
             if any_flat:
                 # flat dims: uniform draw, independent of the ellipsoid
-                uflat = random.uniform(k_rad, (T, R, D), dtype=dtype)
-                cand = jnp.where(act > 0, cand, uflat)
+                cand = jnp.where(act > 0, cand, ucube)
 
             # overlap thinning: accept with probability 1/n_ellipsoids
             # containing the candidate (keeps the union uniform)
@@ -616,6 +633,8 @@ def ns_segment(state: _State, loglike2, data, cfg: NSConfig,
             inside = (m2 <= rmax_all[None] ** 2) & act_ell[None]
             n_e = jnp.maximum(jnp.sum(inside, axis=-1), 1)      # [T, R]
             thin = random.uniform(k_ov, (T, R), dtype=dtype) * n_e < 1.0
+            # cube-phase draws are already uniform; no overlap thinning
+            thin = thin | use_cube[None, :]
 
             cand_lnl = clipped_eval(cand)                       # [T, R]
             okc = (cand_lnl > thresh) & active[None, :] & thin
@@ -676,60 +695,7 @@ def ns_segment(state: _State, loglike2, data, cfg: NSConfig,
             active & (n_take == 0) & (pending > 0), s.stall + 1, 0
         )
 
-        # ---- 4. stall fallback: slice sampling for stuck runs ----
-        stalled = (~s.done) & (pending > 0) & (stall >= cfg.stall_limit)
-        n_fall = cfg.fallback_repeats or 2
-
-        def fallback(args):
-            u, lnl, zombie, pending, ncall, stall, key = args
-            zord = jnp.argsort(~zombie, axis=1, stable=True)
-            k1, k2 = random.split(key)
-            nz_cnt = jnp.maximum(L - pending, 1)
-            jsel = random.randint(k1, (R,), 0, 1 << 30)
-            sel = jnp.take_along_axis(
-                zord, (L - 1 - (jsel % nz_cnt))[:, None], axis=1
-            )[:, 0]
-            x = u[rr, sel]
-            lnl_x = jnp.take_along_axis(lnl, sel[:, None], axis=1)[:, 0]
-
-            def rep(j, carry):
-                x, lnl_x, ncall, key, got = carry
-                key, kd, ks = random.split(key, 3)
-                nvec = random.normal(kd, (R, D), dtype=dtype)
-                dirv = jnp.einsum("rde,re->rd", chol, nvec) * act
-                step = _shrink_step(
-                    loglike2, data, shift, x, lnl_x, dirv, thresh,
-                    ~stalled, cfg,
-                )
-                xn, lnln, acc, nc = step(ks)
-                upd = stalled & acc
-                x = jnp.where(upd[:, None], xn, x)
-                lnl_x = jnp.where(upd, lnln, lnl_x)
-                return x, lnl_x, ncall + nc, key, got | upd
-
-            got0 = jnp.zeros((R,), dtype=bool)
-            zero_nc = jnp.zeros((R,), dtype=jnp.int32)
-            x, lnl_x, nc, _, got = lax.fori_loop(
-                0, n_fall, rep, (x, lnl_x, zero_nc, k2, got0)
-            )
-            ins = stalled & got
-            slot0 = zord[:, 0]
-            slot0_w = jnp.where(ins, slot0, L)
-            u = u.at[rr, slot0_w].set(x, mode="drop")
-            lnl = lnl.at[rr, slot0_w].set(lnl_x, mode="drop")
-            zombie = zombie.at[rr, slot0_w].set(False, mode="drop")
-            pending = pending - ins.astype(jnp.int32)
-            stall = jnp.where(ins, 0, stall)
-            return u, lnl, zombie, pending, ncall + nc, stall, key
-
-        u_new, lnl_new, zombie, pending, ncall, stall, _ = lax.cond(
-            jnp.any(stalled),
-            fallback,
-            lambda args: args,
-            (u_new, lnl_new, zombie, pending, ncall, stall, k_fall),
-        )
-
-        # ---- 5. termination ----
+        # ---- 4. termination ----
         lnx = lnx_tab[n_deaths]
         lnl_live_max = jnp.max(jnp.where(zombie, _NEG, lnl_new), axis=1)
         dlogz = jnp.logaddexp(lnz, lnx + lnl_live_max) - lnz
@@ -754,6 +720,137 @@ def ns_segment(state: _State, loglike2, data, cfg: NSConfig,
             dead_lnl=dead_lnl,
             i=s.i + 1,
         )
+
+    return lax.while_loop(cond, body, state)
+
+
+def ns_slice_fill(state: _State, loglike2, data, cfg: NSConfig) -> _State:
+    """Fill pending kill slots with batched multi-chain whitened slice
+    sampling.
+
+    Runs whose candidate acceptance collapsed (webs of narrow modes
+    that no ellipsoid union bounds tightly, e.g. hyperfine velocity
+    aliasing) are served by ``kill_k`` slice chains per run, batched as
+    one ``[n_chains, R]`` launch per likelihood evaluation -- correct
+    for any contour shape and wide enough to keep the device busy (the
+    PolyChord regime).  Unconditional and masked: when nothing is
+    pending the internal loops exit without a single likelihood
+    evaluation, so ``ns_segment`` can interleave it freely.
+    """
+    R, L, D = state.u.shape
+    cfg = cfg.resolved(D)
+    dtype = state.u.dtype
+    C = cfg.kill_k
+    rr = jnp.arange(R)
+    act_np = np.ones(D, dtype=np.float64)
+    for fd in cfg.flat_dims:
+        if 0 <= int(fd) < D:
+            act_np[int(fd)] = 0.0
+    act = jnp.asarray(act_np, dtype=dtype)
+    # chains start at random *survivors* -- already valid draws from
+    # the constrained region -- so the repeats only need to decorrelate
+    # from an existing point, not random-walk in from the killed shell
+    n_fall = cfg.fallback_repeats or max(2, (D + 1) // 2)
+
+    s = state
+    need = (~s.done) & (s.pending > 0)
+    shift = s.lnl_shift
+    zombie = s.zombie
+    pending = s.pending
+
+    # whitened directions from the surviving live points' covariance
+    live_w = (~zombie).astype(dtype)
+    n_live = jnp.maximum(jnp.sum(live_w, axis=1), 1.0)
+    mean = jnp.einsum("rl,rld->rd", live_w, s.u) / n_live[:, None]
+    du = (s.u - mean[:, None, :]) * live_w[..., None] * act
+    cov = jnp.einsum("rld,rle->rde", du, du) / n_live[:, None, None]
+    cov = cov + jnp.diag(
+        jnp.where(act > 0, cfg.cov_reg, 1.0).astype(dtype)
+    )
+    chol = jnp.linalg.cholesky(cov)
+
+    zord = jnp.argsort(~zombie, axis=1, stable=True)
+    key, k1, k2 = random.split(s.key, 3)
+    nz_cnt = jnp.maximum(L - pending, 1)                     # [R]
+    jsel = random.randint(k1, (C, R), 0, 1 << 30)
+    posn = L - 1 - (jsel % nz_cnt[None, :])                  # [C, R]
+    sel = jnp.swapaxes(
+        jnp.take_along_axis(zord, jnp.swapaxes(posn, 0, 1), axis=1), 0, 1
+    )                                                        # [C, R]
+    rrc = jnp.broadcast_to(rr[None, :], (C, R))
+    x = s.u[rrc, sel]                                        # [C, R, D]
+    lnl_x = s.lnl[rrc, sel]                                  # [C, R]
+    thr_b = jnp.broadcast_to(s.thresh[None, :], (C, R))
+    dead_b = jnp.broadcast_to((~need)[None, :], (C, R))
+
+    def rep(j, carry):
+        x, lnl_x, ncall, key, moved = carry
+        key, kd, ks = random.split(key, 3)
+        nvec = random.normal(kd, (C, R, D), dtype=dtype)
+        dirv = jnp.einsum("rde,cre->crd", chol, nvec) * act
+        step = _shrink_step(
+            loglike2, data, shift, x, lnl_x, dirv, thr_b, dead_b, cfg,
+        )
+        xn, lnln, acc, nc = step(ks)
+        upd = (~dead_b) & acc
+        x = jnp.where(upd[..., None], xn, x)
+        lnl_x = jnp.where(upd, lnln, lnl_x)
+        return (x, lnl_x, ncall + jnp.sum(nc, axis=0, dtype=jnp.int32),
+                key, moved | upd)
+
+    moved0 = jnp.zeros((C, R), dtype=bool)
+    zero_nc = jnp.zeros((R,), dtype=jnp.int32)
+    x, lnl_x, nc, _, moved = lax.fori_loop(
+        0, n_fall, rep, (x, lnl_x, zero_nc, k2, moved0)
+    )
+
+    # insert moved chain endpoints into pending zombie slots
+    okf = moved & need[None, :]
+    rankf = jnp.cumsum(okf, axis=0, dtype=jnp.int32)
+    usef = okf & (rankf <= pending[None, :])
+    slotf = jnp.swapaxes(
+        jnp.take_along_axis(
+            zord, jnp.swapaxes(jnp.clip(rankf - 1, 0, L - 1), 0, 1), axis=1
+        ), 0, 1,
+    )                                                        # [C, R]
+    slotf_w = jnp.where(usef, slotf, L)
+    u_new = s.u.at[rrc, slotf_w].set(x, mode="drop")
+    lnl_new = s.lnl.at[rrc, slotf_w].set(lnl_x, mode="drop")
+    zombie = zombie.at[rrc, slotf_w].set(False, mode="drop")
+    n_ins = jnp.sum(usef, axis=0, dtype=jnp.int32)
+    pending = pending - n_ins
+    stall = jnp.where(n_ins > 0, 0, s.stall)
+    return dataclasses.replace(
+        s, key=key, u=u_new, lnl=lnl_new, zombie=zombie, pending=pending,
+        ncall=s.ncall + nc, stall=stall,
+    )
+
+
+def ns_segment(state: _State, loglike2, data, cfg: NSConfig,
+               seg_end) -> _State:
+    """Advance all runs until ``i >= seg_end`` or every run is done.
+
+    Alternates blocks of ellipsoid-candidate iterations
+    (``_segment_core``, ``block_iters`` at a time) with unconditional
+    multi-chain slice-fill passes (``ns_slice_fill``) that rescue runs
+    whose candidate acceptance collapsed.  The alternation is data-free
+    control flow (no ``lax.cond``), so the whole segment stays one
+    compiled program.
+    """
+    R, L, D = state.u.shape
+    cfg = cfg.resolved(D)
+    block = max(1, cfg.block_iters)
+    seg_end = jnp.asarray(seg_end, jnp.int32)
+
+    def cond(s: _State):
+        return (~jnp.all(s.done)) & (s.i < seg_end)
+
+    def body(s: _State):
+        s = _segment_core(
+            s, loglike2, data, cfg,
+            jnp.minimum(s.i + block, seg_end),
+        )
+        return ns_slice_fill(s, loglike2, data, cfg)
 
     return lax.while_loop(cond, body, state)
 
