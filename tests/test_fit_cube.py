@@ -203,3 +203,49 @@ def test_store_plotter(synth_stack, fitted_store_name, tmp_path):
                              out_path=str(tmp_path / "ik.pdf"))
     import os
     assert os.path.exists(kpath)
+
+
+@pytest.mark.slow
+def test_fit_cube_resume(synth_stack, tmp_path):
+    """A store with a partial completion manifest resumes by fitting
+    only the missing pixels (tile-granular restart; the reference has
+    no recovery path, main.py:514)."""
+    import h5py
+
+    stack, params = synth_stack
+    utrans = get_irdc_priors(vsys=0.0)
+    fitter = CubeFitter(
+        stack, utrans, AmmoniaRunner, ncomp_max=1,
+        ns_kwargs={"nlive": 50, "tol": 1.0},
+        batch_size=8, n_post=64, nlive_buckets=1,
+    )
+    store_name = str(tmp_path / "resume_cube")
+    # pre-mark five pixels as completed (as if a prior run wrote them
+    # and crashed before the rest)
+    n_lat = stack.spatial_shape[1]
+    pre_done = np.array([0, 1, 2, 3, 4])
+    store = HdfStore(store_name, nchunks=1)
+    with h5py.File(store.chunk_paths[0], "a") as chunk:
+        HdfStore.mark_completed(chunk, pre_done)
+    store.close()
+
+    fitter.fit_cube(store_name=store_name, seed=6, resume=True)
+    with HdfStore(store_name) as store:
+        fitted = {
+            (g.attrs["i_lon"], g.attrs["i_lat"])
+            for g in store.iter_pix_groups()
+        }
+        # 7 valid pixels total (one NaN); 5 pre-marked -> only the
+        # remaining ones were fitted
+        expect = {
+            (int(p // n_lat), int(p % n_lat))
+            for p in range(8) if p not in set(pre_done)
+        }
+        expect = {
+            (l, b) for (l, b) in expect
+            if not np.isnan(stack.cubes[0].data[l, b]).any()
+        }
+        assert fitted == expect, (fitted, expect)
+        # manifest now covers everything that was fitted too
+        done = set(store.completed_pixels().tolist())
+        assert set(pre_done.tolist()) <= done

@@ -178,3 +178,39 @@ def test_segmented_matches_traced():
         np.asarray(res_a.max_loglike), np.asarray(res_b.max_loglike),
         rtol=1e-12,
     )
+
+
+def test_trimodal_unequal_evidence():
+    """Three separated modes with unequal weights: the multi-ellipsoid
+    decomposition plus slice fills must keep all modes and recover the
+    total evidence (MultiNest mmodal analogue, core.pyx:746-747)."""
+    sigma = 0.03
+    ndim = 3
+    mus = np.array([[0.2, 0.2, 0.5], [0.8, 0.3, 0.5], [0.5, 0.85, 0.4]])
+    lnw = np.log(np.array([0.6, 0.3, 0.1]))
+
+    def loglike(u):
+        d2 = jnp.sum(
+            (u[..., None, :] - mus) ** 2, axis=-1
+        )                                        # [..., 3]
+        return jax.scipy.special.logsumexp(
+            -0.5 * d2 / sigma**2 + lnw, axis=-1
+        )
+
+    cfg = NSConfig(nlive=400, tol=0.1)
+    res = run_nested(random.key(6), loglike, ndim, 8, cfg,
+                     dtype=jnp.float64)
+    # sum of weights = 1 -> lnZ = D/2 ln(2 pi sigma^2)
+    lnz_true = 0.5 * ndim * np.log(2 * np.pi * sigma**2)
+    lnz = np.asarray(res.lnz)
+    err = np.maximum(np.asarray(res.lnz_err), 0.05)
+    assert np.all(np.abs(lnz - lnz_true) < 5 * err), (lnz, lnz_true, err)
+    # every mode must survive into the posterior: check the weighted
+    # posterior mass near each center
+    prod = posterior_products(res, lambda u: u, random.key(7), n_post=2048)
+    post = np.asarray(prod.posteriors[..., :ndim])    # [R, n, D]
+    for i_m, mu in enumerate(mus):
+        near = np.linalg.norm(post - mu, axis=-1) < 4 * sigma
+        frac = near.mean(axis=1)
+        expect = np.exp(lnw[i_m])
+        assert np.all(frac > 0.25 * expect), (i_m, frac, expect)
