@@ -37,7 +37,8 @@ from nestfit_tpu.constants import CKMS
 from nestfit_tpu.models.tables import Transition
 
 
-def tau_profile(trans: Transition, dnu, voff, tau_main, sigm):
+def tau_profile(trans: Transition, dnu, voff, tau_main, sigm,
+                window_sigma=None):
     """Summed hyperfine Gaussian opacity profile for one component.
 
     Parameters
@@ -92,7 +93,17 @@ def tau_profile(trans: Transition, dnu, voff, tau_main, sigm):
         hf_width = sigm * (hf_freq_1 / CKMS)                  # [...]
         idenom = 0.5 / (hf_width * hf_width)
         d = dnu - rel_nucen[..., None]                        # [..., S]
-        tau = tau + (tau_main * wt)[..., None] * jnp.exp(-(d * d) * idenom[..., None])
+        arg = (d * d) * idenom[..., None]
+        prof = jnp.exp(-arg)
+        if window_sigma is not None:
+            # numerical-parity mode: zero the profile beyond N sigma,
+            # matching the reference's index-windowed evaluation
+            # (hyperfine.pyx:76-96; nu_cutoff = sqrt(12.5/idenom) for
+            # the default 5 sigma, model_includes.pxi:20).  Dense
+            # evaluation is the production path on TPU; the mask form
+            # reproduces the truncation without data-dependent shapes.
+            prof = jnp.where(arg <= 0.5 * window_sigma**2, prof, 0.0)
+        tau = tau + (tau_main * wt)[..., None] * prof
         return tau, None
 
     tau, _ = lax.scan(body, tau0, (hf_freq_j, rel_base, wts))
@@ -120,7 +131,7 @@ def brightness(tau, tex, t0, tbg):
 
 
 def hf_predict(trans: Transition, spec_dnu, spec_t0, spec_tbg,
-               voff, tex, tau_main, sigm):
+               voff, tex, tau_main, sigm, window_sigma=None):
     """Brightness-temperature contribution of one velocity component.
 
     Equivalent of ``c_hf_predict`` (reference hyperfine.pyx:52-118) for
@@ -132,7 +143,8 @@ def hf_predict(trans: Transition, spec_dnu, spec_t0, spec_tbg,
 
     Returns f32[..., S].
     """
-    tau = tau_profile(trans, spec_dnu, voff, tau_main, sigm)
+    tau = tau_profile(trans, spec_dnu, voff, tau_main, sigm,
+                      window_sigma=window_sigma)
     return brightness(tau, jnp.asarray(tex, dtype=spec_dnu.dtype), spec_t0, spec_tbg)
 
 

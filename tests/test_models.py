@@ -198,3 +198,31 @@ def test_unpack_params_stride():
     assert p.shape == (6, 2)
     np.testing.assert_array_equal(np.asarray(p[0]), [0.0, 1.0])   # voff
     np.testing.assert_array_equal(np.asarray(p[4]), [8.0, 9.0])   # sigm
+
+
+def test_windowed_parity_mode():
+    """The optional +-N sigma windowed evaluation (the reference's
+    __APPROX index-windowed loops, hyperfine.pyx:76-96,
+    model_includes.pxi:20) matches dense evaluation to the documented
+    truncation error exp(-12.5) of peak (hyperfine.pyx:79-82)."""
+    import jax.numpy as jnp
+
+    from nestfit_tpu.models import hyperfine
+    from nestfit_tpu.models.tables import AMMONIA_TRANSITIONS
+    from nestfit_tpu.utils import freq_axis_from_velocity
+
+    trans = AMMONIA_TRANSITIONS[0]
+    vaxis = np.arange(-30, 30, 0.158)
+    xarr = freq_axis_from_velocity(vaxis, trans.nu)
+    dnu = jnp.asarray(xarr - trans.nu, dtype=jnp.float64)
+    kw = dict(voff=jnp.asarray(0.5), tau_main=jnp.asarray(3.0),
+              sigm=jnp.asarray(0.4))
+    dense = np.asarray(hyperfine.tau_profile(trans, dnu, **kw))
+    windowed = np.asarray(
+        hyperfine.tau_profile(trans, dnu, window_sigma=5.0, **kw)
+    )
+    peak = dense.max()
+    diff = np.abs(dense - windowed)
+    assert diff.max() > 0  # the mask actually bites somewhere
+    # truncation bounded by nhf * exp(-12.5) of the per-line peak
+    assert diff.max() < trans.nhf * np.exp(-12.5) * peak
