@@ -102,12 +102,15 @@ class NSConfig:
     #                               (e.g. ConstantPrior rows): excluded
     #                               from the bounding geometry, sampled
     #                               uniformly
-    block_iters: int = 16         # candidate iterations between
+    block_iters: int = 8          # candidate iterations between
     #                               slice-fill passes
     stall_limit: int = 2          # retained for API compat (unused)
     n_repeats: int = 0            # slice steps per replacement; 0 -> 2*ndim
     max_expand: int = 3           # stepping-out rounds per slice step
-    max_contract: int = 8         # shrinkage rounds per slice step
+    max_contract: int = 14        # shrinkage rounds per slice step
+    #                               (ultra-peaked high-SNR contours
+    #                               need deep brackets; typical chains
+    #                               exit the loop after 2-4 rounds)
     step_scale: float = 2.0       # initial slice width (whitened units)
     cov_reg: float = 1e-10        # covariance diagonal regularizer
     ell_fudge: float = 1.1        # ellipsoid enlargement over max Mahalanobis
@@ -697,9 +700,23 @@ def _segment_core(state: _State, loglike2, data, cfg: NSConfig,
 
         # ---- 4. termination ----
         lnx = lnx_tab[n_deaths]
-        lnl_live_max = jnp.max(jnp.where(zombie, _NEG, lnl_new), axis=1)
+        live_lnl_m = jnp.where(zombie, _NEG, lnl_new)
+        lnl_live_max = jnp.max(live_lnl_m, axis=1)
         dlogz = jnp.logaddexp(lnz, lnx + lnl_live_max) - lnz
-        newly_conv = (~s.done) & (dlogz < cfg.tol)
+        # floating-point plateau: when the live set's likelihood spread
+        # falls below the representable resolution at its magnitude, no
+        # proposal can exceed the threshold, and the remaining evidence
+        # is exactly X * L_plateau -- which the finalize live-point
+        # treatment adds.  Terminating here is exact at this precision
+        # (the f32 likelihood itself carries no more information).
+        lnl_live_min = jnp.min(
+            jnp.where(zombie, -_NEG, lnl_new), axis=1
+        )
+        eps_plat = 16.0 * jnp.finfo(dtype).eps * jnp.maximum(
+            jnp.abs(lnl_live_max), 1.0
+        )
+        plateau = (lnl_live_max - lnl_live_min) <= eps_plat
+        newly_conv = (~s.done) & ((dlogz < cfg.tol) | plateau)
         newly_done = newly_conv | ((~s.done) & (n_deaths >= max_iter))
 
         return _State(
