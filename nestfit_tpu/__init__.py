@@ -53,6 +53,7 @@ from nestfit_tpu.priors import (
     ResolvedCenSepPrior,
     ResolvedPlacementPrior,
     SpacedPrior,
+    get_diazenylium_priors,
     get_gaussian_priors,
     get_irdc_priors,
     get_synth_priors,

@@ -1,4 +1,5 @@
 from nestfit_tpu.priors.constructors import (
+    get_diazenylium_priors,
     get_gaussian_priors,
     get_irdc_priors,
     get_synth_priors,

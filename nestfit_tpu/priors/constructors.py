@@ -107,3 +107,26 @@ def get_gaussian_priors(size=500, vsys=0.0, voff_span=8.0, sigm_hi=2.0,
         Prior(d_peak, 2),
     ]
     return PriorTransformer(priors)
+
+
+def get_diazenylium_priors(size=500, vsys=0.0, voff_span=8.0,
+                           dtype=jnp.float32):
+    """Priors for the 4-parameter N2H+ model (voff, tex, ltau, sigm;
+    reference diazenylium.pyx:140-155): uniform velocity placement with
+    resolved-separation ordering, Tex in (2.8, 12) K, log10 tau in
+    (-2, 2), sigma in (0.05, 2) km/s."""
+    u = np.linspace(0, 1, size)
+    flat = np.ones_like(u) / size
+    d_voff = make_distribution(
+        voff_span * u - voff_span / 2 + vsys, flat, dtype=dtype
+    )
+    d_tex = make_distribution(9.2 * u + 2.8, flat, dtype=dtype)
+    d_ltau = make_distribution(4.0 * u - 2.0, flat, dtype=dtype)
+    d_sigm = make_distribution(1.95 * u + 0.05, flat, dtype=dtype)
+    priors = [
+        ResolvedPlacementPrior(Prior(d_voff, 0), Prior(d_sigm, 3),
+                               scale=1.2),
+        Prior(d_tex, 1),
+        Prior(d_ltau, 2),
+    ]
+    return PriorTransformer(priors)

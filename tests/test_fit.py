@@ -112,3 +112,38 @@ def test_fit_single_ammonia_recovery():
     assert float(res.lnz[0]) - float(res.null_lnz[0]) > 100.0
     # information criteria ordering sanity
     assert float(res.ics["BIC"][0]) < float(res.ics["null_BIC"][0])
+
+
+def test_diazenylium_fit_recovery():
+    """End-to-end N2H+ fit: multi-transition runner -> nested sampling
+    -> parameter recovery (DiazenyliumRunner analogue of the reference
+    diazenylium.pyx:161-230)."""
+    from nestfit_tpu import oracle
+    from nestfit_tpu.models import DiazenyliumRunner, diazenylium
+    from nestfit_tpu.models.tables import DIAZENYLIUM_TRANSITIONS
+    from nestfit_tpu.priors import get_diazenylium_priors
+    from nestfit_tpu.utils import freq_axis_from_velocity
+
+    rng = np.random.default_rng(12)
+    noise = 0.1
+    params = np.array([0.4, 6.0, 0.8, 0.35])  # voff, tex, ltau, sigm
+    vaxis = np.arange(-12, 12, 0.1)
+    spectra = []
+    for tid in (1,):
+        nu = DIAZENYLIUM_TRANSITIONS[tid - 1].nu
+        xarr = freq_axis_from_velocity(vaxis, nu)
+        truth = oracle.nnhp_predict(xarr, params, trans_id=tid)
+        data = truth + rng.normal(scale=noise, size=xarr.shape)
+        spectra.append(
+            diazenylium.make_diazenylium_spectrum(xarr, data, noise,
+                                                  trans_id=tid)
+        )
+    utrans = get_diazenylium_priors(vsys=0.0)
+    runner = DiazenyliumRunner(tuple(spectra), utrans, ncomp=1)
+    fit = fit_batch(random.key(3), runner, 1,
+                    NSConfig(nlive=100, tol=0.5), n_post=256)
+    assert bool(np.asarray(fit.ns.converged)[0])
+    assert float(fit.lnz[0]) > float(fit.null_lnz[0]) + 11
+    best = np.asarray(fit.products.bestfit_params)[0]
+    assert abs(best[0] - params[0]) < 0.2       # voff
+    assert abs(best[3] - params[3]) < 0.2       # sigm
