@@ -106,7 +106,7 @@ class NSConfig:
     #                               slice-fill passes
     stall_limit: int = 2          # retained for API compat (unused)
     n_repeats: int = 0            # slice steps per replacement; 0 -> 2*ndim
-    max_expand: int = 3           # stepping-out rounds per slice step
+    max_expand: int = 2           # stepping-out rounds per slice step
     max_contract: int = 14        # shrinkage rounds per slice step
     #                               (ultra-peaked high-SNR contours
     #                               need deep brackets; typical chains
@@ -767,7 +767,7 @@ def ns_slice_fill(state: _State, loglike2, data, cfg: NSConfig) -> _State:
     # chains start at random *survivors* -- already valid draws from
     # the constrained region -- so the repeats only need to decorrelate
     # from an existing point, not random-walk in from the killed shell
-    n_fall = cfg.fallback_repeats or max(2, (D + 1) // 2)
+    n_fall = cfg.fallback_repeats or max(2, (D + 2) // 3)
 
     s = state
     need = (~s.done) & (s.pending > 0)
