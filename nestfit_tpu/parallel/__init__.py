@@ -5,3 +5,8 @@ from nestfit_tpu.parallel.mesh import (
     replicated,
     shard_pixel_batch,
 )
+from nestfit_tpu.parallel.distributed import (
+    host_chunk_name,
+    host_pixel_shard,
+    initialize_distributed,
+)

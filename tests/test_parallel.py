@@ -107,3 +107,19 @@ def test_cube_fitter_with_mesh(tmp_path):
         assert len(groups) == 8
         n_sig = sum(1 for g in groups if g.attrs["nbest"] == 1)
         assert n_sig == 2
+
+
+def test_distributed_single_process():
+    """Multi-host utilities degrade to no-ops on one process."""
+    from nestfit_tpu.parallel.distributed import (
+        host_chunk_name, host_pixel_shard, initialize_distributed,
+    )
+
+    assert initialize_distributed() is False
+    lo, hi = host_pixel_shard(100)
+    assert (lo, hi) == (0, 100)
+    # explicit 4-host split covers the range exactly
+    spans = [host_pixel_shard(103, i, 4) for i in range(4)]
+    assert spans[0][0] == 0 and spans[-1][1] == 103
+    assert all(a[1] == b[0] for a, b in zip(spans, spans[1:]))
+    assert host_chunk_name() == "chunk0"
