@@ -99,26 +99,34 @@ def main():
 
     runners = {n: make_runner(n) for n in (1, 2)}
 
-    def ladder(key):
+    def ladder(key, tag=""):
         k1, k2 = random.split(key)
+        t0 = time.perf_counter()
         r1 = fit_batch(k1, runners[1], n_pix, cfg, segment_iters=seg)
+        jax.block_until_ready(r1.lnz)
+        log(f"bench: {tag} ncomp=1 rung {time.perf_counter() - t0:.1f}s")
+        t0 = time.perf_counter()
         r2 = fit_batch(k2, runners[2], n_pix, cfg, segment_iters=seg)
+        jax.block_until_ready(r2.lnz)
+        log(f"bench: {tag} ncomp=2 rung {time.perf_counter() - t0:.1f}s")
         return r1, r2
 
     log("bench: compiling + warmup ...")
     t0 = time.perf_counter()
-    r1, r2 = ladder(random.key(0))
+    r1, r2 = ladder(random.key(0), tag="warmup")
     jax.block_until_ready((r1.lnz, r2.lnz))
     t_warm = time.perf_counter() - t0
     log(f"bench: warmup (incl. compile) {t_warm:.1f}s "
         f"(budget left {remaining():.0f}s)")
 
-    # clean timed pass only if the budget can hold it (warmup minus
-    # compile is the lower bound; be conservative)
-    timed_clean = remaining() > 0.8 * t_warm + 120
+    # clean timed pass only if the budget can hold it *and* still
+    # leave room for the CPU-baseline measurement (warmup time is an
+    # upper bound on the clean pass -- it includes compilation)
+    baseline_reserve = 200.0
+    timed_clean = remaining() - baseline_reserve > 0.9 * t_warm + 60
     if timed_clean:
         t0 = time.perf_counter()
-        r1, r2 = ladder(random.key(seed))
+        r1, r2 = ladder(random.key(seed), tag="timed")
         jax.block_until_ready((r1.lnz, r2.lnz))
         elapsed = time.perf_counter() - t0
     else:
@@ -170,7 +178,7 @@ def measure_cpu_baseline(xa11, d11, xa22, d22, noise, nlive,
         if not native.available():
             raise RuntimeError("native lib unavailable")
         n_sample = n_sample or int(os.environ.get("BENCH_CPU_PIXELS", "6"))
-        box_s = min(float(os.environ.get("BENCH_CPU_BUDGET_S", "240")),
+        box_s = min(float(os.environ.get("BENCH_CPU_BUDGET_S", "150")),
                     max(remaining() - 30, 30))
         utrans = get_irdc_priors(vsys=0.0)
         ppf1 = native.bindings.ppf_tables_from_utrans(utrans, 1)
