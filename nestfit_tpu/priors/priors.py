@@ -25,6 +25,7 @@ from nestfit_tpu.priors.distributions import (
     cdf_interp,
     cdf_over_interval,
     ppf_interp,
+    tapered_interval_invert,
 )
 
 
@@ -232,8 +233,17 @@ class ResolvedPlacementPrior(Prior):
             sep = min_seps[..., i]
             v_lo = v_lo + sep
             v_hi = v_hi + sep
-            cdf = cdf_over_interval(dist, v_lo, v_hi, float(ncomp - 1 - i))
-            v = cdf_interp(cdf, u[..., i], xax=dist.xax, dx=dist.dx)
+            sfact = ncomp - 1 - i
+            if sfact <= 2:
+                # O(1)-memory analytic inversion (the hot path; the
+                # dense [..., N] formulation dominated the whole
+                # likelihood evaluation at production batch sizes)
+                v = tapered_interval_invert(
+                    dist, u[..., i], v_lo, v_hi, sfact
+                )
+            else:
+                cdf = cdf_over_interval(dist, v_lo, v_hi, float(sfact))
+                v = cdf_interp(cdf, u[..., i], xax=dist.xax, dx=dist.dx)
             vals.append(v)
             v_lo = v
         return theta.at[..., ix_v, :].set(jnp.stack(vals, axis=-1))

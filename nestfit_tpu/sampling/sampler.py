@@ -98,6 +98,14 @@ class NSConfig:
     #                                single ellipsoid's (coverage guard)
     cube_redraws: int = 4         # cheap redraw rounds for candidates
     #                               that land outside the unit cube
+    bound_every: int = 4          # iterations between bounding-geometry
+    #                               recomputes (clustering + Cholesky +
+    #                               radii); the live set turns over by
+    #                               kill_k/nlive per iteration, so mild
+    #                               staleness costs only proposal
+    #                               acceptance, never correctness
+    #                               (candidates are filtered by the
+    #                               *current* threshold)
     flat_dims: tuple = ()         # likelihood-flat unit-cube dims
     #                               (e.g. ConstantPrior rows): excluded
     #                               from the bounding geometry, sampled
@@ -165,7 +173,7 @@ def _weight_tables(nlive: int, kill_k: int, max_iter: int):
     data_fields=[
         "key", "u", "lnl", "lnl_shift", "lnz", "done", "converged",
         "n_deaths", "pending", "thresh", "zombie", "stall", "ncall",
-        "dead_u", "dead_lnl", "i",
+        "dead_u", "dead_lnl", "i", "bounds",
     ],
     meta_fields=[],
 )
@@ -187,6 +195,7 @@ class _State:
     dead_u: jax.Array     # [R, max_iter, D]
     dead_lnl: jax.Array   # [R, max_iter]
     i: jax.Array          # scalar iteration counter
+    bounds: tuple         # cached bounding geometry (_compute_bounds)
 
 
 @partial(
@@ -311,6 +320,188 @@ def _shrink_step(loglike2, data, shift, x0, lnl0, dirv, lnl_star, done, cfg):
     return make
 
 
+def _act_arrays(cfg: NSConfig, ndim: int, dtype):
+    """Active-dimension mask: likelihood-flat unit-cube dims are
+    excluded from the bounding geometry and sampled uniformly."""
+    act_np = np.ones(ndim, dtype=np.float64)
+    for fd in cfg.flat_dims:
+        if 0 <= int(fd) < ndim:
+            act_np[int(fd)] = 0.0
+    return jnp.asarray(act_np, dtype=dtype), act_np
+
+
+def _compute_bounds(u, zombie, act, act_np, cfg: NSConfig):
+    """Bounding geometry of the surviving live set (pytree of arrays).
+
+    Cached in ``_State.bounds`` and recomputed every
+    ``cfg.bound_every`` iterations: the live set turns over by only
+    ``kill_k/nlive`` per iteration, so mild staleness costs proposal
+    acceptance, never correctness -- candidates are always filtered by
+    the *current* likelihood threshold, and the slice-fill pass is
+    exact for any contour.  (The role of MultiNest's ``updInt``
+    ellipsoid-refresh cadence, reference core.pyx:758-759.)
+
+    For ``method == "ellipsoid"`` the tuple is ``(mu_all, chol_all,
+    rmax_all, lnvol_all, act_ell, use_cube, inv_chol)`` over the
+    ellipsoid set (index 0 = single global bound, 1.. = k-means
+    clusters); for ``method == "slice"`` it is ``(chol,)`` -- the
+    whitening Cholesky only.
+    """
+    R, L, D = u.shape
+    dtype = u.dtype
+
+    # global moments over the *surviving* live points only: zombie
+    # slots hold already-killed points below the threshold (the
+    # outermost shell) and would inflate the bound
+    live_w = (~zombie).astype(dtype)                       # [R, L]
+    n_live = jnp.maximum(jnp.sum(live_w, axis=1), 1.0)     # [R]
+    mean = jnp.einsum("rl,rld->rd", live_w, u) / n_live[:, None]
+    du = (u - mean[:, None, :]) * live_w[..., None] * act
+    cov = jnp.einsum("rld,rle->rde", du, du) / n_live[:, None, None]
+    # flat dims: unit diagonal so the Cholesky stays well-scaled;
+    # they carry no cross terms (du is zeroed there)
+    cov = cov + jnp.diag(
+        jnp.where(act > 0, cfg.cov_reg, 1.0).astype(dtype)
+    )
+    chol = jnp.linalg.cholesky(cov)                        # [R, D, D]
+    if cfg.method != "ellipsoid":
+        return (chol,)
+
+    # --- multi-ellipsoid bound: cluster the surviving live points,
+    # fit one bounding ellipsoid per cluster -- the vectorizable
+    # analogue of MultiNest's multimodal ellipsoidal decomposition
+    # (reference core.pyx:746-747)
+    KC = max(1, cfg.n_clusters)
+    km_iters = max(1, cfg.km_iters)
+    zorder = jnp.argsort(~zombie, axis=1, stable=True)     # [R, L]
+
+    # k-means over non-zombie points, centers seeded from
+    # evenly-spaced survivors (zorder lists zombies first)
+    seed_frac = jnp.linspace(0.0, 1.0, KC)[None, :]
+    seed_pos = (L - 1 - seed_frac * (n_live[:, None] - 1.0))
+    seed_pos = jnp.clip(seed_pos.astype(jnp.int32), 0, L - 1)
+    seed_ix = jnp.take_along_axis(zorder, seed_pos, axis=1)
+    centers = jnp.take_along_axis(u, seed_ix[..., None], axis=1)
+    big = jnp.asarray(1e10, dtype=dtype)
+    for _ in range(km_iters):
+        d2 = jnp.sum(
+            ((u[:, :, None, :] - centers[:, None, :, :]) * act) ** 2,
+            axis=-1,
+        )                                               # [R, L, KC]
+        assign = jnp.argmin(d2, axis=-1)                # [R, L]
+        member = (
+            assign[..., None] == jnp.arange(KC)[None, None, :]
+        ) & (~zombie)[..., None]
+        wk = member.astype(dtype)                       # [R, L, KC]
+        cnt = jnp.sum(wk, axis=1)                       # [R, KC]
+        new_c = jnp.einsum("rlk,rld->rkd", wk, u)
+        new_c = new_c / jnp.maximum(cnt, 1.0)[..., None]
+        # keep empty clusters where they were
+        centers = jnp.where((cnt > 0)[..., None], new_c, centers)
+
+    # per-cluster moments, shrunk toward the global covariance
+    # when the cluster is too small to estimate its own
+    mu_k = centers
+    du_k = (u[:, :, None, :] - mu_k[:, None]) * wk[..., None] * act
+    cov_k = jnp.einsum("rlkd,rlke->rkde", du_k, du_k)
+    cov_k = cov_k / jnp.maximum(cnt, 1.0)[..., None, None]
+    lam = jnp.clip((D + 1.0 - cnt) / (D + 1.0), 0.0, 1.0)
+    cov_k = (
+        (1.0 - lam)[..., None, None] * cov_k
+        + lam[..., None, None] * cov[:, None]
+    )
+    # re-mask flat rows/cols (the blend re-introduces the global's
+    # unit flat diagonal), then pin them to 1
+    cov_k = cov_k * (act[:, None] * act[None, :])
+    cov_k = cov_k + jnp.diag(
+        jnp.where(act > 0, cfg.cov_reg, 1.0).astype(dtype)
+    )
+    chol_k = jnp.linalg.cholesky(cov_k)                 # [R,KC,D,D]
+    # radius covers every point assigned to the cluster, zombies
+    # included (threshold-shell coverage, as below for the global)
+    wr = (
+        assign[..., None] == jnp.arange(KC)[None, None, :]
+    ).astype(dtype)
+    du_rk = (u[:, :, None, :] - mu_k[:, None]) * wr[..., None] * act
+    dz_k = jax.scipy.linalg.solve_triangular(
+        chol_k, jnp.swapaxes(du_rk, 1, 2).swapaxes(2, 3), lower=True,
+    )                                                   # [R,KC,D,L]
+    rmax_k = jnp.sqrt(jnp.max(jnp.sum(dz_k**2, axis=2), axis=-1))
+    rmax_k = jnp.maximum(rmax_k, 0.1) * cfg.ell_fudge   # [R, KC]
+
+    # global single ellipsoid.  Shape (mean/cov) comes from the
+    # survivors, but the radius must cover the zombie shell too: the
+    # killed points straddle the threshold contour, so bounding only
+    # the surviving interior points truncates the contour boundary
+    # and biases lnZ high (verified at D=12).
+    du_all = (u - mean[:, None, :]) * act
+    dz_g = jax.scipy.linalg.solve_triangular(
+        chol, jnp.swapaxes(du_all, 1, 2), lower=True
+    )                                                   # [R, D, L]
+    rmax_g = jnp.sqrt(jnp.max(jnp.sum(dz_g**2, axis=1), axis=1))
+    rmax_g = jnp.maximum(rmax_g, 0.1) * cfg.ell_fudge   # [R]
+
+    d_act = float(act_np.sum())
+
+    def ell_lnvol(rmax, chol_m):
+        # volume over the active dims only (flat dims have unit
+        # diagonal and are sampled uniformly regardless)
+        return d_act * jnp.log(rmax) + jnp.sum(
+            jnp.log(jnp.diagonal(chol_m, axis1=-2, axis2=-1)) * act,
+            axis=-1,
+        )
+
+    lnvol_k = jnp.where(cnt > 0, ell_lnvol(rmax_k, chol_k), -big)
+    lnvol_g = ell_lnvol(rmax_g, chol)                   # [R]
+
+    # coverage guard (MultiNest's decomposition rule): use the
+    # cluster set only where its total volume is genuinely smaller
+    # than the single bounding ellipsoid -- k-means cells of a
+    # unimodal cloud leave inter-cell gaps, so the single ellipsoid
+    # is the safe default
+    lnvol_sum = jax.scipy.special.logsumexp(lnvol_k, axis=-1)
+    use_multi = lnvol_sum < lnvol_g + float(
+        np.log(cfg.cluster_vol_frac)
+    )                                                   # [R]
+
+    # ellipsoid set: index 0 = global, 1.. = clusters
+    mu_all = jnp.concatenate([mean[:, None], mu_k], axis=1)
+    chol_all = jnp.concatenate([chol[:, None], chol_k], axis=1)
+    rmax_all = jnp.concatenate([rmax_g[:, None], rmax_k], axis=1)
+    act_ell = jnp.concatenate([
+        (~use_multi)[:, None],
+        use_multi[:, None] & (cnt > 0),
+    ], axis=1)                                          # [R, KC+1]
+    lnvol_all = jnp.where(
+        act_ell,
+        jnp.concatenate([lnvol_g[:, None], lnvol_k], axis=1),
+        -big,
+    )
+
+    # Early phase: while the bounding ellipsoid is still larger than
+    # the unit cube (an ellipsoid enclosing a near-full cube has
+    # ~(sqrt(D)/2)^D * V_ball(D) times its volume -- hundreds at
+    # D=10), sampling the *prior cube* uniformly is both correct (the
+    # cube always contains the contour) and vastly more efficient.
+    # This mirrors MultiNest's prior-sampling start-up phase.
+    use_cube = lnvol_g >= 0.0                           # [R]
+
+    inv_chol = jax.scipy.linalg.solve_triangular(
+        chol_all, jnp.broadcast_to(
+            jnp.eye(D, dtype=dtype), (R, KC + 1, D, D)
+        ), lower=True,
+    )                                                   # [R,KC+1,D,D]
+    return (mu_all, chol_all, rmax_all, lnvol_all, act_ell, use_cube,
+            inv_chol)
+
+
+def _global_chol(bounds, cfg: NSConfig):
+    """Whitening Cholesky of the global bound from a bounds tuple."""
+    if cfg.method == "ellipsoid":
+        return bounds[1][:, 0]
+    return bounds[0]
+
+
 def ns_init(key, loglike2, data, ndim: int, n_runs: int, cfg: NSConfig,
             dtype=jnp.float32) -> _State:
     """Draw and evaluate the initial live-point set."""
@@ -333,6 +524,9 @@ def ns_init(key, loglike2, data, ndim: int, n_runs: int, cfg: NSConfig,
     lnl0 = jnp.transpose(lnl0)
     shift = jnp.max(lnl0, axis=1)
     lnl0 = lnl0 - shift[:, None]
+    act, act_np = _act_arrays(cfg, D, dtype)
+    zombie0 = jnp.zeros((R, L), dtype=bool)
+    bounds0 = _compute_bounds(u0, zombie0, act, act_np, cfg)
     return _State(
         key=key,
         u=u0,
@@ -350,6 +544,7 @@ def ns_init(key, loglike2, data, ndim: int, n_runs: int, cfg: NSConfig,
         dead_u=jnp.zeros((R, cfg.max_iter, D), dtype=dtype),
         dead_lnl=jnp.full((R, cfg.max_iter), _NEG, dtype=dtype),
         i=jnp.int32(0),
+        bounds=bounds0,
     )
 
 
@@ -378,11 +573,7 @@ def _segment_core(state: _State, loglike2, data, cfg: NSConfig,
     # likelihood-flat dims are excluded from the bounding geometry
     # (their live coordinates stay uniform on [0,1], which would blow
     # the ellipsoid out of the cube) and sampled uniformly instead
-    act_np = np.ones(D, dtype=np.float64)
-    for fd in cfg.flat_dims:
-        if 0 <= int(fd) < D:
-            act_np[int(fd)] = 0.0
-    act = jnp.asarray(act_np, dtype=dtype)                     # [D]
+    act, act_np = _act_arrays(cfg, D, dtype)
     any_flat = bool((act_np == 0.0).any())
 
     def cond(s: _State):
@@ -420,20 +611,13 @@ def _segment_core(state: _State, loglike2, data, cfg: NSConfig,
         active = (~s.done) & (pending > 0)
         key, k_dir, k_rad, k_fall = random.split(s.key, 4)
 
-        # bounding-ellipsoid moments over the *surviving* live points
-        # only: zombie slots hold already-killed points below the
-        # threshold (the outermost shell) and would inflate the bound
-        live_w = (~zombie).astype(dtype)                       # [R, L]
-        n_live = jnp.maximum(jnp.sum(live_w, axis=1), 1.0)     # [R]
-        mean = jnp.einsum("rl,rld->rd", live_w, s.u) / n_live[:, None]
-        du = (s.u - mean[:, None, :]) * live_w[..., None] * act
-        cov = jnp.einsum("rld,rle->rde", du, du) / n_live[:, None, None]
-        # flat dims: unit diagonal so the Cholesky stays well-scaled;
-        # they carry no cross terms (du is zeroed there)
-        cov = cov + jnp.diag(
-            jnp.where(act > 0, cfg.cov_reg, 1.0).astype(dtype)
+        # bounding geometry: cached, refreshed every bound_every
+        # iterations (see _compute_bounds for the staleness argument)
+        bounds = lax.cond(
+            (s.i % max(1, cfg.bound_every)) == 0,
+            lambda: _compute_bounds(s.u, zombie, act, act_np, cfg),
+            lambda: s.bounds,
         )
-        chol = jnp.linalg.cholesky(cov)                        # [R, D, D]
 
         def clipped_eval(xp):
             xq = jnp.clip(xp, 0.0, 1.0)
@@ -444,137 +628,14 @@ def _segment_core(state: _State, loglike2, data, cfg: NSConfig,
         zorder = jnp.argsort(~zombie, axis=1, stable=True)     # [R, L]
 
         if cfg.method == "ellipsoid":
-            # --- multi-ellipsoid bound: cluster the surviving live
-            # points, fit one bounding ellipsoid per cluster, sample
-            # candidates from the union (volume-proportional cluster
-            # choice + 1/n_overlap thinning keeps the proposal uniform
-            # over the union) -- the vectorizable analogue of
-            # MultiNest's multimodal ellipsoidal decomposition
-            # (reference core.pyx:746-747)
-            KC = max(1, cfg.n_clusters)
-            km_iters = max(1, cfg.km_iters)
+            # sample candidates from the cached ellipsoid union
+            # (volume-proportional cluster choice + 1/n_overlap
+            # thinning keeps the proposal uniform over the union)
+            (mu_all, chol_all, rmax_all, lnvol_all, act_ell, use_cube,
+             inv_chol) = bounds
+            KC = mu_all.shape[1] - 1
             key, k_cl, k_ov = random.split(key, 3)
-
-            # k-means over non-zombie points, centers seeded from
-            # evenly-spaced survivors (zorder lists zombies first)
-            seed_frac = jnp.linspace(0.0, 1.0, KC)[None, :]
-            seed_pos = (L - 1 - seed_frac * (n_live[:, None] - 1.0))
-            seed_pos = jnp.clip(seed_pos.astype(jnp.int32), 0, L - 1)
-            seed_ix = jnp.take_along_axis(zorder, seed_pos, axis=1)
-            centers = jnp.take_along_axis(
-                s.u, seed_ix[..., None], axis=1
-            )                                                   # [R, KC, D]
-            big = jnp.asarray(1e10, dtype=dtype)
-            for _ in range(km_iters):
-                d2 = jnp.sum(
-                    ((s.u[:, :, None, :] - centers[:, None, :, :]) * act)
-                    ** 2,
-                    axis=-1,
-                )                                               # [R, L, KC]
-                assign = jnp.argmin(d2, axis=-1)                # [R, L]
-                member = (
-                    assign[..., None] == jnp.arange(KC)[None, None, :]
-                ) & (~zombie)[..., None]
-                wk = member.astype(dtype)                       # [R, L, KC]
-                cnt = jnp.sum(wk, axis=1)                       # [R, KC]
-                new_c = jnp.einsum("rlk,rld->rkd", wk, s.u)
-                new_c = new_c / jnp.maximum(cnt, 1.0)[..., None]
-                # keep empty clusters where they were
-                centers = jnp.where((cnt > 0)[..., None], new_c, centers)
-
-            # per-cluster moments, shrunk toward the global covariance
-            # when the cluster is too small to estimate its own
-            mu_k = centers
-            du_k = (
-                (s.u[:, :, None, :] - mu_k[:, None]) * wk[..., None] * act
-            )
-            cov_k = jnp.einsum("rlkd,rlke->rkde", du_k, du_k)
-            cov_k = cov_k / jnp.maximum(cnt, 1.0)[..., None, None]
-            lam = jnp.clip((D + 1.0 - cnt) / (D + 1.0), 0.0, 1.0)
-            cov_k = (
-                (1.0 - lam)[..., None, None] * cov_k
-                + lam[..., None, None] * cov[:, None]
-            )
-            # re-mask flat rows/cols (the blend re-introduces the
-            # global's unit flat diagonal), then pin them to 1
-            cov_k = cov_k * (act[:, None] * act[None, :])
-            cov_k = cov_k + jnp.diag(
-                jnp.where(act > 0, cfg.cov_reg, 1.0).astype(dtype)
-            )
-            chol_k = jnp.linalg.cholesky(cov_k)                 # [R,KC,D,D]
-            # radius covers every point assigned to the cluster,
-            # zombies included (threshold-shell coverage, as above)
-            wr = (
-                assign[..., None] == jnp.arange(KC)[None, None, :]
-            ).astype(dtype)
-            du_rk = (
-                (s.u[:, :, None, :] - mu_k[:, None]) * wr[..., None] * act
-            )
-            dz_k = jax.scipy.linalg.solve_triangular(
-                chol_k, jnp.swapaxes(du_rk, 1, 2).swapaxes(2, 3),
-                lower=True,
-            )                                                   # [R,KC,D,L]
-            rmax_k = jnp.sqrt(jnp.max(jnp.sum(dz_k**2, axis=2), axis=-1))
-            rmax_k = jnp.maximum(rmax_k, 0.1) * cfg.ell_fudge   # [R, KC]
-
-            # global single ellipsoid.  Shape (mean/cov) comes from the
-            # survivors, but the radius must cover the zombie shell
-            # too: the killed points straddle the threshold contour, so
-            # bounding only the surviving interior points truncates the
-            # contour boundary and biases lnZ high (verified at D=12).
-            du_all = (s.u - mean[:, None, :]) * act
-            dz_g = jax.scipy.linalg.solve_triangular(
-                chol, jnp.swapaxes(du_all, 1, 2), lower=True
-            )                                                   # [R, D, L]
-            rmax_g = jnp.sqrt(jnp.max(jnp.sum(dz_g**2, axis=1), axis=1))
-            rmax_g = jnp.maximum(rmax_g, 0.1) * cfg.ell_fudge   # [R]
-
             d_act = float(act_np.sum())
-
-            def ell_lnvol(rmax, chol_m):
-                # volume over the active dims only (flat dims have unit
-                # diagonal and are sampled uniformly regardless)
-                return d_act * jnp.log(rmax) + jnp.sum(
-                    jnp.log(jnp.diagonal(chol_m, axis1=-2, axis2=-1))
-                    * act,
-                    axis=-1,
-                )
-
-            lnvol_k = jnp.where(cnt > 0, ell_lnvol(rmax_k, chol_k), -big)
-            lnvol_g = ell_lnvol(rmax_g, chol)                   # [R]
-
-            # coverage guard (MultiNest's decomposition rule): use the
-            # cluster set only where its total volume is genuinely
-            # smaller than the single bounding ellipsoid -- k-means
-            # cells of a unimodal cloud leave inter-cell gaps, so the
-            # single ellipsoid is the safe default
-            lnvol_sum = jax.scipy.special.logsumexp(lnvol_k, axis=-1)
-            use_multi = lnvol_sum < lnvol_g + float(
-                np.log(cfg.cluster_vol_frac)
-            )                                                   # [R]
-
-            # ellipsoid set: index 0 = global, 1.. = clusters
-            mu_all = jnp.concatenate([mean[:, None], mu_k], axis=1)
-            chol_all = jnp.concatenate([chol[:, None], chol_k], axis=1)
-            rmax_all = jnp.concatenate([rmax_g[:, None], rmax_k], axis=1)
-            act_ell = jnp.concatenate([
-                (~use_multi)[:, None],
-                use_multi[:, None] & (cnt > 0),
-            ], axis=1)                                          # [R, KC+1]
-            lnvol_all = jnp.where(
-                act_ell,
-                jnp.concatenate([lnvol_g[:, None], lnvol_k], axis=1),
-                -big,
-            )
-
-            # Early phase: while the bounding ellipsoid is still larger
-            # than the unit cube (an ellipsoid enclosing a near-full
-            # cube has ~(sqrt(D)/2)^D * V_ball(D) times its volume --
-            # hundreds at D=10), sampling the *prior cube* uniformly is
-            # both correct (the cube always contains the contour) and
-            # vastly more efficient.  This mirrors MultiNest's
-            # prior-sampling start-up phase.
-            use_cube = lnvol_g >= 0.0                           # [R]
 
             # volume-proportional ellipsoid choice per candidate, with
             # cheap redraw rounds for candidates that land outside the
@@ -624,11 +685,6 @@ def _segment_core(state: _State, loglike2, data, cfg: NSConfig,
 
             # overlap thinning: accept with probability 1/n_ellipsoids
             # containing the candidate (keeps the union uniform)
-            inv_chol = jax.scipy.linalg.solve_triangular(
-                chol_all, jnp.broadcast_to(
-                    jnp.eye(D, dtype=dtype), (R, KC + 1, D, D)
-                ), lower=True,
-            )                                                   # [R,KC+1,D,D]
             xc = (cand[:, :, None, :] - mu_all[None]) * act     # [T,R,KC+1,D]
             m2 = jnp.sum(
                 jnp.einsum("rkde,trke->trkd", inv_chol, xc) ** 2, axis=-1
@@ -653,11 +709,13 @@ def _segment_core(state: _State, loglike2, data, cfg: NSConfig,
             x0 = s.u[rr, sel]
             lnl0 = jnp.take_along_axis(s.lnl, sel[:, None], axis=1)[:, 0]
 
+            chol_g = _global_chol(bounds, cfg)
+
             def repeat_body(j, carry):
                 x, lnl_x, ncall, key = carry
                 key, kd, ks = random.split(key, 3)
                 nvec = random.normal(kd, (R, D), dtype=dtype)
-                dirv = jnp.einsum("rde,re->rd", chol, nvec) * act
+                dirv = jnp.einsum("rde,re->rd", chol_g, nvec) * act
                 step = _shrink_step(
                     loglike2, data, shift, x, lnl_x, dirv, thresh,
                     ~active, cfg,
@@ -736,6 +794,7 @@ def _segment_core(state: _State, loglike2, data, cfg: NSConfig,
             dead_u=dead_u,
             dead_lnl=dead_lnl,
             i=s.i + 1,
+            bounds=bounds,
         )
 
     return lax.while_loop(cond, body, state)
@@ -766,8 +825,12 @@ def ns_slice_fill(state: _State, loglike2, data, cfg: NSConfig) -> _State:
     act = jnp.asarray(act_np, dtype=dtype)
     # chains start at random *survivors* -- already valid draws from
     # the constrained region -- so the repeats only need to decorrelate
-    # from an existing point, not random-walk in from the killed shell
-    n_fall = cfg.fallback_repeats or max(2, (D + 2) // 3)
+    # from an existing point, not random-walk in from the killed shell.
+    # Two repeats suffice at all tested dims: deeper chains cost ~1.7x
+    # wall-clock with no measurable lnZ-quality gain (per-pixel lnZ
+    # scatter vs deeper-chain runs matches the sampler's own
+    # seed-to-seed scatter at R=256, ncomp=2 NH3)
+    n_fall = cfg.fallback_repeats or 2
 
     s = state
     need = (~s.done) & (s.pending > 0)
@@ -775,16 +838,11 @@ def ns_slice_fill(state: _State, loglike2, data, cfg: NSConfig) -> _State:
     zombie = s.zombie
     pending = s.pending
 
-    # whitened directions from the surviving live points' covariance
-    live_w = (~zombie).astype(dtype)
-    n_live = jnp.maximum(jnp.sum(live_w, axis=1), 1.0)
-    mean = jnp.einsum("rl,rld->rd", live_w, s.u) / n_live[:, None]
-    du = (s.u - mean[:, None, :]) * live_w[..., None] * act
-    cov = jnp.einsum("rld,rle->rde", du, du) / n_live[:, None, None]
-    cov = cov + jnp.diag(
-        jnp.where(act > 0, cfg.cov_reg, 1.0).astype(dtype)
-    )
-    chol = jnp.linalg.cholesky(cov)
+    # whitened directions from the cached bounding geometry (slice
+    # correctness does not depend on the whitening quality -- only the
+    # mixing rate does, so reusing the bounded-staleness Cholesky is
+    # free performance)
+    chol = _global_chol(s.bounds, cfg)
 
     zord = jnp.argsort(~zombie, axis=1, stable=True)
     key, k1, k2 = random.split(s.key, 3)

@@ -234,3 +234,58 @@ def test_synth_priors_lte_duplicate():
     out = np.asarray(ut.transform(jnp.asarray(u), 2)).reshape(20, 6, 2)
     np.testing.assert_allclose(out[:, 1], out[:, 2])  # tex == tkin
     assert np.all(out[:, 5] == 0.0)
+
+
+def test_tapered_interval_invert_matches_dense():
+    """The O(1)-memory analytic inversion must reproduce the dense
+    cdf_over_interval + cdf_interp composition for s = 0, 1, 2."""
+    from nestfit_tpu.priors.distributions import tapered_interval_invert
+
+    x = np.linspace(-4, 4, 500)
+    y = np.exp(-0.5 * (x / 1.7) ** 2) + 0.1
+    dist = make_distribution(x, y, dtype=jnp.float64)
+    rng = np.random.default_rng(11)
+    B = 64
+    for sfact in (0, 1, 2):
+        lo = rng.uniform(-4, 3, size=B)
+        hi = lo + rng.uniform(0.005, 6, size=B)
+        u = rng.uniform(size=B)
+        dense_cdf = cdf_over_interval(
+            dist, jnp.asarray(lo), jnp.asarray(hi), float(sfact)
+        )
+        want = np.asarray(
+            cdf_interp(dense_cdf, jnp.asarray(u), xax=dist.xax, dx=dist.dx)
+        )
+        got = np.asarray(tapered_interval_invert(
+            dist, jnp.asarray(u), jnp.asarray(lo), jnp.asarray(hi), sfact
+        ))
+        np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-10)
+
+
+def test_tapered_interval_invert_f32_accuracy():
+    """f32 tables: the analytic inversion stays within a grid cell of
+    the f64 dense reference (self-limiting cancellation)."""
+    from nestfit_tpu.priors.distributions import tapered_interval_invert
+
+    x = np.linspace(-4, 4, 500)
+    y = np.exp(-0.5 * (x / 1.7) ** 2) + 0.1
+    dist64 = make_distribution(x, y, dtype=jnp.float64)
+    dist32 = make_distribution(x, y, dtype=jnp.float32)
+    dx = float(x[1] - x[0])
+    rng = np.random.default_rng(12)
+    B = 256
+    for sfact in (0, 1, 2):
+        lo = rng.uniform(-4, 3, size=B)
+        hi = lo + rng.uniform(0.005, 6, size=B)
+        u = rng.uniform(size=B)
+        want = np.asarray(tapered_interval_invert(
+            dist64, jnp.asarray(u), jnp.asarray(lo), jnp.asarray(hi), sfact
+        ))
+        got = np.asarray(tapered_interval_invert(
+            dist32, jnp.asarray(u, dtype=np.float32),
+            jnp.asarray(lo, dtype=np.float32),
+            jnp.asarray(hi, dtype=np.float32), sfact
+        ))
+        assert np.max(np.abs(got - want)) < 2.5 * dx, (
+            sfact, np.max(np.abs(got - want)), dx
+        )
