@@ -79,7 +79,8 @@ class NSConfig:
 
     Maps onto the MultiNest knob set the reference exposes
     (core.pyx:727-776): ``nlive`` and ``tol`` are the same quantities;
-    ``efr``'s role (proposal aggressiveness) is covered by
+    ``efr`` maps to the same volume-enlargement semantics (see below)
+    and proposal aggressiveness is otherwise governed by
     ``ell_fudge``/``cand_factor``.  ``kill_k`` is the batched-deletion
     width (no MultiNest analogue; it trades iteration count for
     per-iteration batch size on the MXU).
@@ -122,6 +123,14 @@ class NSConfig:
     step_scale: float = 2.0       # initial slice width (whitened units)
     cov_reg: float = 1e-10        # covariance diagonal regularizer
     ell_fudge: float = 1.1        # ellipsoid enlargement over max Mahalanobis
+    efr: float = 0.0              # MultiNest sampling-efficiency knob
+    #                               (core.pyx:748-751): > 0 enlarges
+    #                               every bounding ellipsoid's VOLUME
+    #                               by 1/efr (radius by
+    #                               (1/efr)^(1/d)), on top of
+    #                               ell_fudge; 0 -> disabled (the
+    #                               default bounding already covers
+    #                               the threshold shell)
     ell_cands: int = 0            # legacy alias: overrides cand_factor*kill_k
     ell_tries: int = 8            # retained for API compat (unused)
     fallback_repeats: int = 0     # slice steps for stragglers; 0 -> 2
@@ -427,7 +436,13 @@ def _compute_bounds(u, zombie, act, act_np, cfg: NSConfig):
         chol_k, jnp.swapaxes(du_rk, 1, 2).swapaxes(2, 3), lower=True,
     )                                                   # [R,KC,D,L]
     rmax_k = jnp.sqrt(jnp.max(jnp.sum(dz_k**2, axis=2), axis=-1))
-    rmax_k = jnp.maximum(rmax_k, 0.1) * cfg.ell_fudge   # [R, KC]
+    d_act = float(act_np.sum())
+    # MultiNest's efr knob: enlarge ellipsoid volumes by 1/efr
+    # (core.pyx:748-751); radius multiplier (1/efr)^(1/d)
+    efr_mult = (
+        (1.0 / cfg.efr) ** (1.0 / max(d_act, 1.0)) if cfg.efr > 0 else 1.0
+    )
+    rmax_k = jnp.maximum(rmax_k, 0.1) * (cfg.ell_fudge * efr_mult)
 
     # global single ellipsoid.  Shape (mean/cov) comes from the
     # survivors, but the radius must cover the zombie shell too: the
@@ -439,9 +454,7 @@ def _compute_bounds(u, zombie, act, act_np, cfg: NSConfig):
         chol, jnp.swapaxes(du_all, 1, 2), lower=True
     )                                                   # [R, D, L]
     rmax_g = jnp.sqrt(jnp.max(jnp.sum(dz_g**2, axis=1), axis=1))
-    rmax_g = jnp.maximum(rmax_g, 0.1) * cfg.ell_fudge   # [R]
-
-    d_act = float(act_np.sum())
+    rmax_g = jnp.maximum(rmax_g, 0.1) * (cfg.ell_fudge * efr_mult)
 
     def ell_lnvol(rmax, chol_m):
         # volume over the active dims only (flat dims have unit

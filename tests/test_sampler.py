@@ -214,3 +214,30 @@ def test_trimodal_unequal_evidence():
         frac = near.mean(axis=1)
         expect = np.exp(lnw[i_m])
         assert np.all(frac > 0.25 * expect), (i_m, frac, expect)
+
+
+def test_efr_enlargement_converges():
+    """MultiNest-style efr knob: enlarged bounding volumes must not
+    change the evidence, only proposal acceptance (reference
+    core.pyx:748-751)."""
+    import jax.numpy as jnp
+    from jax import random
+
+    from nestfit_tpu.sampling.sampler import NSConfig, run_nested
+
+    D = 4
+    sig = 0.4
+
+    def ll(u):
+        x = (u - 0.5) * 8.0
+        return -0.5 * jnp.sum((x / sig) ** 2, axis=-1)
+
+    lnz_true = D * (np.log(np.sqrt(2 * np.pi) * sig) - np.log(8.0))
+    res = run_nested(random.key(3), ll, D, 8,
+                     NSConfig(nlive=200, tol=0.5, efr=0.3))
+    lnz = np.asarray(res.lnz)
+    assert np.asarray(res.converged).all()
+    # per-run statistical error ~sqrt(H/nlive) ~ 0.2; check the batch
+    # mean is unbiased and no run is a wild outlier
+    assert abs(lnz.mean() - lnz_true) < 0.2, (lnz.mean(), lnz_true)
+    assert np.max(np.abs(lnz - lnz_true)) < 0.8, (lnz, lnz_true)
