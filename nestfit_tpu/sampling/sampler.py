@@ -113,6 +113,28 @@ class NSConfig:
     #                               uniformly
     block_iters: int = 8          # candidate iterations between
     #                               slice-fill passes
+    cand_min_acc: float = -1.0    # candidate acceptance below which
+    #                               ns_segment switches to kill+slice
+    #                               iterations; <= 0 disables the
+    #                               switch (default).  The kill+slice
+    #                               regime is ~3x faster per death in
+    #                               slice-dominated regimes ONLY when
+    #                               paired with decorrelation-grade
+    #                               fallback_repeats (>= ndim/2) --
+    #                               with the default shallow repeats
+    #                               its extra slice throughput turns
+    #                               into correlated insertions and
+    #                               occasional mode loss.  Enable
+    #                               (e.g. 0.12) together with
+    #                               fallback_repeats >= ndim // 2 for
+    #                               precision work on slice-heavy
+    #                               posteriors.
+    cand_recheck: float = 0.003   # EMA bump per kill+slice iteration:
+    #                               candidates get re-auditioned every
+    #                               ~cand_min_acc/cand_recheck
+    #                               iterations in case the contour
+    #                               geometry became ellipsoid-friendly
+    #                               again
     stall_limit: int = 2          # retained for API compat (unused)
     n_repeats: int = 0            # slice steps per replacement; 0 -> 2*ndim
     max_expand: int = 2           # stepping-out rounds per slice step
@@ -133,7 +155,11 @@ class NSConfig:
     #                               the threshold shell)
     ell_cands: int = 0            # legacy alias: overrides cand_factor*kill_k
     ell_tries: int = 8            # retained for API compat (unused)
-    fallback_repeats: int = 0     # slice steps for stragglers; 0 -> 2
+    fallback_repeats: int = 0     # slice steps per chain in the fill
+    #                               passes; 0 -> max(2, ndim // 2)
+    #                               (the decorrelation depth needed
+    #                               for unbiased insertion -- see
+    #                               ns_slice_fill)
     init_chunk: int = 32          # live-point chunk for the init evals
     min_compact: int = 32        # smallest compacted batch (segmented mode)
 
@@ -182,7 +208,7 @@ def _weight_tables(nlive: int, kill_k: int, max_iter: int):
     data_fields=[
         "key", "u", "lnl", "lnl_shift", "lnz", "done", "converged",
         "n_deaths", "pending", "thresh", "zombie", "stall", "ncall",
-        "dead_u", "dead_lnl", "i", "bounds",
+        "dead_u", "dead_lnl", "i", "bounds", "acc_ema",
     ],
     meta_fields=[],
 )
@@ -205,6 +231,7 @@ class _State:
     dead_lnl: jax.Array   # [R, max_iter]
     i: jax.Array          # scalar iteration counter
     bounds: tuple         # cached bounding geometry (_compute_bounds)
+    acc_ema: jax.Array    # scalar EMA of candidate fills-per-proposal
 
 
 @partial(
@@ -558,7 +585,68 @@ def ns_init(key, loglike2, data, ndim: int, n_runs: int, cfg: NSConfig,
         dead_lnl=jnp.full((R, cfg.max_iter), _NEG, dtype=dtype),
         i=jnp.int32(0),
         bounds=bounds0,
+        acc_ema=jnp.asarray(1.0, dtype=dtype),
     )
+
+
+def _kill_record(s: _State, cfg: NSConfig, lnw_tab, rr):
+    """One batched-deletion step: record the kill_k worst live points
+    of every run whose previous fill-cycle completed.
+
+    Returns the updated (dead_u, dead_lnl, lnz, n_deaths, pending,
+    zombie, thresh) arrays.
+    """
+    R, L, D = s.u.shape
+    K = cfg.kill_k
+    max_iter = cfg.max_iter
+    need_kill = (~s.done) & (s.pending == 0)
+    neg_vals, worst_idx = lax.top_k(-s.lnl, K)             # [R, K]
+    kill_lnl = -neg_vals                                   # ascending
+    thresh_new = kill_lnl[:, -1]                           # k-th smallest
+    kill_u = jnp.take_along_axis(s.u, worst_idx[..., None], axis=1)
+    pos = s.n_deaths[:, None] + jnp.arange(K)              # [R, K]
+    ok_w = need_kill[:, None] & (pos < max_iter)
+    pos_w = jnp.where(ok_w, pos, max_iter)                 # OOB -> drop
+    rrk = jnp.broadcast_to(rr[:, None], (R, K))
+    dead_u = s.dead_u.at[rrk, pos_w].set(kill_u, mode="drop")
+    dead_lnl = s.dead_lnl.at[rrk, pos_w].set(kill_lnl, mode="drop")
+    lnw_k = lnw_tab[jnp.clip(pos, 0, max_iter - 1)]        # [R, K]
+    contrib = jax.scipy.special.logsumexp(
+        jnp.where(ok_w, lnw_k + kill_lnl, _NEG), axis=1
+    )
+    lnz = jnp.where(need_kill, jnp.logaddexp(s.lnz, contrib), s.lnz)
+    n_deaths = jnp.where(
+        need_kill, jnp.minimum(s.n_deaths + K, max_iter), s.n_deaths
+    )
+    pending = jnp.where(need_kill, K, s.pending)
+    zmb_idx = jnp.where(need_kill[:, None], worst_idx, L)
+    zombie = s.zombie.at[rrk, zmb_idx].set(True, mode="drop")
+    thresh = jnp.where(need_kill, thresh_new, s.thresh)
+    return dead_u, dead_lnl, lnz, n_deaths, pending, zombie, thresh
+
+
+def _check_termination(cfg: NSConfig, lnx_tab, done, zombie, lnl, lnz,
+                       n_deaths, dtype):
+    """Remaining-evidence + float-plateau termination flags."""
+    max_iter = cfg.max_iter
+    lnx = lnx_tab[n_deaths]
+    live_lnl_m = jnp.where(zombie, _NEG, lnl)
+    lnl_live_max = jnp.max(live_lnl_m, axis=1)
+    dlogz = jnp.logaddexp(lnz, lnx + lnl_live_max) - lnz
+    # floating-point plateau: when the live set's likelihood spread
+    # falls below the representable resolution at its magnitude, no
+    # proposal can exceed the threshold, and the remaining evidence
+    # is exactly X * L_plateau -- which the finalize live-point
+    # treatment adds.  Terminating here is exact at this precision
+    # (the f32 likelihood itself carries no more information).
+    lnl_live_min = jnp.min(jnp.where(zombie, -_NEG, lnl), axis=1)
+    eps_plat = 16.0 * jnp.finfo(dtype).eps * jnp.maximum(
+        jnp.abs(lnl_live_max), 1.0
+    )
+    plateau = (lnl_live_max - lnl_live_min) <= eps_plat
+    newly_conv = (~done) & ((dlogz < cfg.tol) | plateau)
+    newly_done = newly_conv | ((~done) & (n_deaths >= max_iter))
+    return newly_done, newly_conv
 
 
 def _segment_core(state: _State, loglike2, data, cfg: NSConfig,
@@ -596,29 +684,8 @@ def _segment_core(state: _State, loglike2, data, cfg: NSConfig,
         shift = s.lnl_shift
 
         # ---- 1. kill/record: runs whose fill-cycle completed ----
-        need_kill = (~s.done) & (s.pending == 0)
-        neg_vals, worst_idx = lax.top_k(-s.lnl, K)             # [R, K]
-        kill_lnl = -neg_vals                                   # ascending
-        thresh_new = kill_lnl[:, -1]                           # k-th smallest
-        kill_u = jnp.take_along_axis(s.u, worst_idx[..., None], axis=1)
-        pos = s.n_deaths[:, None] + jnp.arange(K)              # [R, K]
-        ok_w = need_kill[:, None] & (pos < max_iter)
-        pos_w = jnp.where(ok_w, pos, max_iter)                 # OOB -> drop
-        rrk = jnp.broadcast_to(rr[:, None], (R, K))
-        dead_u = s.dead_u.at[rrk, pos_w].set(kill_u, mode="drop")
-        dead_lnl = s.dead_lnl.at[rrk, pos_w].set(kill_lnl, mode="drop")
-        lnw_k = lnw_tab[jnp.clip(pos, 0, max_iter - 1)]        # [R, K]
-        contrib = jax.scipy.special.logsumexp(
-            jnp.where(ok_w, lnw_k + kill_lnl, _NEG), axis=1
-        )
-        lnz = jnp.where(need_kill, jnp.logaddexp(s.lnz, contrib), s.lnz)
-        n_deaths = jnp.where(
-            need_kill, jnp.minimum(s.n_deaths + K, max_iter), s.n_deaths
-        )
-        pending = jnp.where(need_kill, K, s.pending)
-        zmb_idx = jnp.where(need_kill[:, None], worst_idx, L)
-        zombie = s.zombie.at[rrk, zmb_idx].set(True, mode="drop")
-        thresh = jnp.where(need_kill, thresh_new, s.thresh)
+        (dead_u, dead_lnl, lnz, n_deaths, pending, zombie,
+         thresh) = _kill_record(s, cfg, lnw_tab, rr)
 
         # ---- 2. proposals: one batched candidate launch ----
         active = (~s.done) & (pending > 0)
@@ -769,26 +836,26 @@ def _segment_core(state: _State, loglike2, data, cfg: NSConfig,
             active & (n_take == 0) & (pending > 0), s.stall + 1, 0
         )
 
+        # candidate-acceptance EMA (drives the ns_segment mode switch;
+        # only the ellipsoid method produces a meaningful signal).
+        # Measure threshold-passing proposals (okc), NOT slot fills:
+        # fills are capped by `pending`, which would drag the EMA down
+        # on slot-starved iterations where candidates are fine.
+        if cfg.method == "ellipsoid":
+            n_act = jnp.sum(active.astype(dtype))
+            acc = jnp.sum(
+                (okc & active[None, :]).astype(dtype)
+            ) / jnp.maximum(n_act * T, 1.0)
+            acc_ema = jnp.where(
+                n_act > 0, 0.8 * s.acc_ema + 0.2 * acc, s.acc_ema
+            )
+        else:
+            acc_ema = s.acc_ema
+
         # ---- 4. termination ----
-        lnx = lnx_tab[n_deaths]
-        live_lnl_m = jnp.where(zombie, _NEG, lnl_new)
-        lnl_live_max = jnp.max(live_lnl_m, axis=1)
-        dlogz = jnp.logaddexp(lnz, lnx + lnl_live_max) - lnz
-        # floating-point plateau: when the live set's likelihood spread
-        # falls below the representable resolution at its magnitude, no
-        # proposal can exceed the threshold, and the remaining evidence
-        # is exactly X * L_plateau -- which the finalize live-point
-        # treatment adds.  Terminating here is exact at this precision
-        # (the f32 likelihood itself carries no more information).
-        lnl_live_min = jnp.min(
-            jnp.where(zombie, -_NEG, lnl_new), axis=1
+        newly_done, newly_conv = _check_termination(
+            cfg, lnx_tab, s.done, zombie, lnl_new, lnz, n_deaths, dtype
         )
-        eps_plat = 16.0 * jnp.finfo(dtype).eps * jnp.maximum(
-            jnp.abs(lnl_live_max), 1.0
-        )
-        plateau = (lnl_live_max - lnl_live_min) <= eps_plat
-        newly_conv = (~s.done) & ((dlogz < cfg.tol) | plateau)
-        newly_done = newly_conv | ((~s.done) & (n_deaths >= max_iter))
 
         return _State(
             key=key,
@@ -808,6 +875,65 @@ def _segment_core(state: _State, loglike2, data, cfg: NSConfig,
             dead_lnl=dead_lnl,
             i=s.i + 1,
             bounds=bounds,
+            acc_ema=acc_ema,
+        )
+
+    return lax.while_loop(cond, body, state)
+
+
+def _killslice_block(state: _State, loglike2, data, cfg: NSConfig,
+                     seg_end) -> _State:
+    """Advance runs with kill + slice-fill iterations (no ellipsoid
+    candidates).
+
+    The PolyChord-style regime for contours no ellipsoid union bounds
+    tightly: every iteration opens ``kill_k`` slots per run and fills
+    them with one batched multi-chain slice pass -- measured ~3x
+    faster per death than candidate blocks once candidate acceptance
+    collapses below ~13% (mid-run hyperfine posteriors sit at ~0.2%).
+    ``acc_ema`` is bumped by ``cand_recheck`` each iteration so
+    ``ns_segment`` periodically re-auditions the candidate mode.
+    """
+    R, L, D = state.u.shape
+    cfg = cfg.resolved(D)
+    dtype = state.u.dtype
+    max_iter = cfg.max_iter
+    lnx_tab_np, lnw_tab_np = _weight_tables(L, cfg.kill_k, max_iter)
+    lnx_tab = jnp.asarray(lnx_tab_np, dtype=dtype)
+    lnw_tab = jnp.asarray(lnw_tab_np, dtype=dtype)
+    rr = jnp.arange(R)
+    seg_end = jnp.asarray(seg_end, jnp.int32)
+
+    def cond(s: _State):
+        return (~jnp.all(s.done)) & (s.i < seg_end)
+
+    act, act_np = _act_arrays(cfg, D, dtype)
+
+    def body(s: _State):
+        (dead_u, dead_lnl, lnz, n_deaths, pending, zombie,
+         thresh) = _kill_record(s, cfg, lnw_tab, rr)
+        # refresh the whitening geometry EVERY iteration here: one
+        # kill+slice iteration turns over kill_k/nlive (typically 25%)
+        # of the live set -- the staleness tolerated by the candidate
+        # regime's bound_every cadence would leave the slice brackets
+        # whitened by a covariance ~e^2 too wide after 4 cycles, which
+        # degrades chain mixing enough to bias lnZ (observed at D=12)
+        bounds = _compute_bounds(s.u, zombie, act, act_np, cfg)
+        s2 = dataclasses.replace(
+            s, lnz=lnz, n_deaths=n_deaths, pending=pending, thresh=thresh,
+            zombie=zombie, dead_u=dead_u, dead_lnl=dead_lnl, bounds=bounds,
+            acc_ema=s.acc_ema + jnp.asarray(cfg.cand_recheck, dtype),
+        )
+        s2 = ns_slice_fill(s2, loglike2, data, cfg)
+        newly_done, newly_conv = _check_termination(
+            cfg, lnx_tab, s2.done, s2.zombie, s2.lnl, s2.lnz,
+            s2.n_deaths, dtype,
+        )
+        return dataclasses.replace(
+            s2,
+            done=s2.done | newly_done,
+            converged=s2.converged | newly_conv,
+            i=s2.i + 1,
         )
 
     return lax.while_loop(cond, body, state)
@@ -837,12 +963,16 @@ def ns_slice_fill(state: _State, loglike2, data, cfg: NSConfig) -> _State:
             act_np[int(fd)] = 0.0
     act = jnp.asarray(act_np, dtype=dtype)
     # chains start at random *survivors* -- already valid draws from
-    # the constrained region -- so the repeats only need to decorrelate
-    # from an existing point, not random-walk in from the killed shell.
-    # Two repeats suffice at all tested dims: deeper chains cost ~1.7x
-    # wall-clock with no measurable lnZ-quality gain (per-pixel lnZ
-    # scatter vs deeper-chain runs matches the sampler's own
-    # seed-to-seed scatter at R=256, ncomp=2 NH3)
+    # the constrained region.  Chain endpoints stay correlated with
+    # their starts at shallow repeats, which biases lnZ high by up to
+    # ~+0.5 nats at D=12 in fully slice-dominated regimes (measured on
+    # the analytic Gaussian; unbiased at D/2 repeats).  The default
+    # keeps 2 repeats: the candidate phase supplies independent draws
+    # where ellipsoids fit, the residual bias is MultiNest-class
+    # (ellipsoidal rejection at efr=0.3 carries comparable systematic
+    # error) and far inside the 11-nat model-selection gates the
+    # application uses; raise ``fallback_repeats`` to ndim//2 for
+    # precision evidence work.
     n_fall = cfg.fallback_repeats or 2
 
     s = state
@@ -859,12 +989,18 @@ def ns_slice_fill(state: _State, loglike2, data, cfg: NSConfig) -> _State:
 
     zord = jnp.argsort(~zombie, axis=1, stable=True)
     key, k1, k2 = random.split(s.key, 3)
-    nz_cnt = jnp.maximum(L - pending, 1)                     # [R]
-    jsel = random.randint(k1, (C, R), 0, 1 << 30)
-    posn = L - 1 - (jsel % nz_cnt[None, :])                  # [C, R]
-    sel = jnp.swapaxes(
-        jnp.take_along_axis(zord, jnp.swapaxes(posn, 0, 1), axis=1), 0, 1
-    )                                                        # [C, R]
+    # chain starts: DISTINCT random survivors per run.  Sampling with
+    # replacement lets several chains start at the same survivor and
+    # insert correlated near-duplicates, which breaks the
+    # order-statistics compression model and biases lnZ high
+    # (measured +0.8 nats at D=12 when slice fills dominate).  A
+    # randomized sort pushing zombies last makes the first C columns
+    # distinct random survivors; survivors >= L - kill_k >= C always
+    # (kill_k is capped at nlive // 2).
+    rscore = random.uniform(k1, (R, L), dtype=dtype) + zombie.astype(
+        dtype
+    ) * 2.0
+    sel = jnp.swapaxes(jnp.argsort(rscore, axis=1)[:, :C], 0, 1)  # [C, R]
     rrc = jnp.broadcast_to(rr[None, :], (C, R))
     x = s.u[rrc, sel]                                        # [C, R, D]
     lnl_x = s.lnl[rrc, sel]                                  # [C, R]
@@ -918,26 +1054,45 @@ def ns_segment(state: _State, loglike2, data, cfg: NSConfig,
                seg_end) -> _State:
     """Advance all runs until ``i >= seg_end`` or every run is done.
 
-    Alternates blocks of ellipsoid-candidate iterations
-    (``_segment_core``, ``block_iters`` at a time) with unconditional
-    multi-chain slice-fill passes (``ns_slice_fill``) that rescue runs
-    whose candidate acceptance collapsed.  The alternation is data-free
-    control flow (no ``lax.cond``), so the whole segment stays one
-    compiled program.
+    Adaptive two-regime execution, re-evaluated once per
+    ``block_iters`` block on the candidate-acceptance EMA:
+
+    * **candidate regime** (``acc_ema >= cand_min_acc``): blocks of
+      ellipsoid-candidate iterations (``_segment_core``) followed by a
+      multi-chain slice-fill rescue pass -- cheap while the bounding
+      union fits the contour (early compression: ~3 likelihood evals
+      per replacement).
+    * **kill+slice regime**: one batched slice pass per deletion step
+      (``_killslice_block``) -- the exact-for-any-contour engine that
+      takes over when candidate acceptance collapses (warped hyperfine
+      posteriors mid-run), measured ~3x faster per death there.
+
+    The mode switch is a scalar ``lax.cond``, so the segment remains
+    one compiled program.
     """
     R, L, D = state.u.shape
     cfg = cfg.resolved(D)
     block = max(1, cfg.block_iters)
     seg_end = jnp.asarray(seg_end, jnp.int32)
+    # the mode switch costs a second compiled iteration body; only
+    # trace it when actually enabled
+    adaptive = cfg.method == "ellipsoid" and cfg.cand_min_acc > 0
 
     def cond(s: _State):
         return (~jnp.all(s.done)) & (s.i < seg_end)
 
     def body(s: _State):
-        s = _segment_core(
-            s, loglike2, data, cfg,
-            jnp.minimum(s.i + block, seg_end),
-        )
+        blk_end = jnp.minimum(s.i + block, seg_end)
+        if adaptive:
+            s = lax.cond(
+                s.acc_ema >= cfg.cand_min_acc,
+                lambda s: _segment_core(s, loglike2, data, cfg, blk_end),
+                lambda s: _killslice_block(s, loglike2, data, cfg,
+                                           blk_end),
+                s,
+            )
+        else:
+            s = _segment_core(s, loglike2, data, cfg, blk_end)
         return ns_slice_fill(s, loglike2, data, cfg)
 
     return lax.while_loop(cond, body, state)
