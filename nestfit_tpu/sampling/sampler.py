@@ -135,7 +135,18 @@ class NSConfig:
     #                               iterations in case the contour
     #                               geometry became ellipsoid-friendly
     #                               again
-    stall_limit: int = 2          # retained for API compat (unused)
+    stall_limit: int = 64         # consecutive zero-fill iterations
+    #                               after which a run is abandoned
+    #                               (marked done, not converged).
+    #                               Without this, a run whose pending
+    #                               slots cannot be filled (e.g. the
+    #                               f32-saturated threshold leaves no
+    #                               exceedable region) never records
+    #                               deaths, so neither the tol nor the
+    #                               max_iter death cap fires and the
+    #                               whole batch grinds to the
+    #                               iteration cap -- minutes of tail
+    #                               for one stuck run
     n_repeats: int = 0            # slice steps per replacement; 0 -> 2*ndim
     max_expand: int = 2           # stepping-out rounds per slice step
     max_contract: int = 14        # shrinkage rounds per slice step
@@ -161,7 +172,18 @@ class NSConfig:
     #                               for unbiased insertion -- see
     #                               ns_slice_fill)
     init_chunk: int = 32          # live-point chunk for the init evals
-    min_compact: int = 32        # smallest compacted batch (segmented mode)
+    min_compact: int = 256        # smallest compacted batch (segmented
+    #                               mode).  Each compacted size class
+    #                               is a fresh XLA compile of the
+    #                               whole segment program -- expensive
+    #                               through remote-tunneled TPU
+    #                               workers (30-90 s each, and the
+    #                               persistent compile cache does not
+    #                               reliably serve them) -- while the
+    #                               straggler tail at R=256 costs only
+    #                               seconds of device time, so one
+    #                               coarse class beats a ladder of
+    #                               small ones
 
     def resolved(self, ndim: int) -> "NSConfig":
         max_iter = self.max_iter if self.max_iter > 0 else 120 * self.nlive
@@ -626,8 +648,8 @@ def _kill_record(s: _State, cfg: NSConfig, lnw_tab, rr):
 
 
 def _check_termination(cfg: NSConfig, lnx_tab, done, zombie, lnl, lnz,
-                       n_deaths, dtype):
-    """Remaining-evidence + float-plateau termination flags."""
+                       n_deaths, dtype, stall=None):
+    """Remaining-evidence + float-plateau + stuck-run termination."""
     max_iter = cfg.max_iter
     lnx = lnx_tab[n_deaths]
     live_lnl_m = jnp.where(zombie, _NEG, lnl)
@@ -646,6 +668,13 @@ def _check_termination(cfg: NSConfig, lnx_tab, done, zombie, lnl, lnz,
     plateau = (lnl_live_max - lnl_live_min) <= eps_plat
     newly_conv = (~done) & ((dlogz < cfg.tol) | plateau)
     newly_done = newly_conv | ((~done) & (n_deaths >= max_iter))
+    if stall is not None and cfg.stall_limit > 0:
+        # abandoned (flagged unconverged): no proposal mechanism has
+        # filled a slot for stall_limit consecutive iterations -- the
+        # run would otherwise grind the whole batch to the iteration
+        # cap (its evidence up to the stuck threshold plus the live
+        # remainder is still recorded by finalize)
+        newly_done = newly_done | ((~done) & (stall >= cfg.stall_limit))
     return newly_done, newly_conv
 
 
@@ -854,7 +883,8 @@ def _segment_core(state: _State, loglike2, data, cfg: NSConfig,
 
         # ---- 4. termination ----
         newly_done, newly_conv = _check_termination(
-            cfg, lnx_tab, s.done, zombie, lnl_new, lnz, n_deaths, dtype
+            cfg, lnx_tab, s.done, zombie, lnl_new, lnz, n_deaths, dtype,
+            stall=stall,
         )
 
         return _State(
@@ -925,9 +955,15 @@ def _killslice_block(state: _State, loglike2, data, cfg: NSConfig,
             acc_ema=s.acc_ema + jnp.asarray(cfg.cand_recheck, dtype),
         )
         s2 = ns_slice_fill(s2, loglike2, data, cfg)
+        # ns_slice_fill zeroes stall on insert but never increments;
+        # count zero-progress iterations here so stuck runs terminate
+        no_prog = (~s2.done) & (s2.pending > 0) & (s2.pending >= pending)
+        s2 = dataclasses.replace(
+            s2, stall=jnp.where(no_prog, s2.stall + 1, s2.stall)
+        )
         newly_done, newly_conv = _check_termination(
             cfg, lnx_tab, s2.done, s2.zombie, s2.lnl, s2.lnz,
-            s2.n_deaths, dtype,
+            s2.n_deaths, dtype, stall=s2.stall,
         )
         return dataclasses.replace(
             s2,
