@@ -24,6 +24,7 @@ fails" (main.py:514)                        key; completed pixels recorded in a
 
 import dataclasses
 import time
+from pathlib import Path
 
 import numpy as np
 
@@ -118,7 +119,8 @@ class CubeFitter:
         )
 
     def fit_cube(self, store_name="run/test_cube", nproc=1, seed=0,
-                 timeout=None, resume=False):
+                 timeout=None, resume=False, host_shard=False,
+                 process_id=None, process_count=None, link=True):
         """Fit the full field and write the store.
 
         ``nproc`` is accepted for API parity with the reference
@@ -127,6 +129,19 @@ class CubeFitter:
         pixels already present in the store's completion manifest are
         skipped (the tile-granular restart the reference lacks,
         main.py:514).
+
+        Multi-host: with ``host_shard=True`` each process fits only
+        its contiguous share of the valid pixels
+        (``host_pixel_shard``) and writes its own
+        ``chunk_h<process>_<j>.hdf`` shard files -- the TPU-pod
+        analogue of the reference's one-chunk-per-process layout
+        (docs/store_spec.rst:12-20; main.py:505-523).  Only process 0
+        touches ``table.hdf`` (header/metadata, and -- after a
+        cross-host barrier when available -- the external-link step);
+        other processes never open it, so no HDF5 lock contention.
+        Pass ``link=False`` to defer linking (e.g. to a coordinator
+        that runs after all workers exit, as the two-process test
+        does).
         """
         n_lon, n_lat = self.stack.spatial_shape
         datas, noises, nan_mask, max_snr = self.stack.get_flat_batch()
@@ -134,51 +149,99 @@ class CubeFitter:
         valid = ~nan_mask
         valid_ix = np.nonzero(valid)[0]
 
-        store = HdfStore(store_name, nchunks=max(
-            1, int(np.ceil(valid_ix.size / self.batch_size))
-        ))
+        if host_shard:
+            from nestfit_tpu.parallel.distributed import host_pixel_shard
+            pi = jax.process_index() if process_id is None else process_id
+            pc = jax.process_count() if process_count is None \
+                else process_count
+        else:
+            pi, pc = 0, 1
+        nchunks = max(1, int(np.ceil(valid_ix.size / self.batch_size)))
+
+        if pi == 0:
+            store = HdfStore(store_name, nchunks=nchunks)
+            store_dir = store.store_dir
+        else:
+            store = None
+            from nestfit_tpu.cube.store import check_ext
+            store_dir = Path(check_ext(str(store_name), ext="store"))
+            store_dir.mkdir(parents=True, exist_ok=True)
         if resume:
-            done = store.completed_pixels()
+            from nestfit_tpu.cube.store import completed_pixels
+            done = completed_pixels(store_dir)
             valid_ix = np.setdiff1d(valid_ix, done)
             log.info("fit_cube: resume skips %d completed pixels", done.size)
-        log.info("fit_cube: %d/%d valid pixels", valid_ix.size, n_pix)
-        store.insert_header(self.stack)
-        store.insert_fitter_pars(self)
-        store.insert_model_metadata(self.runner_cls.model)
+        if host_shard:
+            lo_s, hi_s = host_pixel_shard(valid_ix.size, pi, pc)
+            shard_ix = valid_ix[lo_s:hi_s]
+            log.info("fit_cube: host %d/%d owns %d of %d valid pixels",
+                     pi, pc, shard_ix.size, valid_ix.size)
+        else:
+            shard_ix = valid_ix
+        log.info("fit_cube: %d/%d valid pixels", shard_ix.size, n_pix)
+        if store is not None:
+            store.insert_header(self.stack)
+            store.insert_fitter_pars(self)
+            store.insert_model_metadata(self.runner_cls.model)
 
         # SNR-scaled live points, bucketed (main.py:444-447)
         base_nlive = self.ns_kwargs.get("nlive", 100)
         nlive_pix = base_nlive + (
-            self.nlive_snr_fact * np.nan_to_num(max_snr[valid_ix])
+            self.nlive_snr_fact * np.nan_to_num(max_snr[shard_ix])
         ).astype(int)
-        if valid_ix.size:
+        if shard_ix.size:
             nlive_assign, _ = bucket_nlive(
                 nlive_pix, n_buckets=self.nlive_buckets
             )
         else:
             nlive_assign = np.empty(0, dtype=int)
 
-        key = random.key(seed)
+        if host_shard:
+            chunk_path_of = (
+                lambda j: store_dir / f"chunk_h{pi}_{j}.hdf"
+            )
+        else:
+            chunk_path_of = (
+                lambda j: store.chunk_paths[j % store.nchunks]
+            )
+
+        # decorrelate hosts: each host derives its own key stream
+        # (single-process runs keep the historical stream)
+        key = random.key(seed) if pc == 1 else \
+            random.split(random.key(seed), pc)[pi]
         chunk_id = 0
         t_start = time.time()
         for level in np.unique(nlive_assign):
-            sel = valid_ix[nlive_assign == level]
+            sel = shard_ix[nlive_assign == level]
             ns_kwargs = dict(self.ns_kwargs)
             ns_kwargs["nlive"] = int(level)
             cfg = NSConfig(**ns_kwargs)
             for lo in range(0, sel.size, self.batch_size):
                 batch_ix = sel[lo:lo + self.batch_size]
                 key, sub = random.split(key)
-                chunk_path = store.chunk_paths[chunk_id % store.nchunks]
                 self._run_batch_with_retry(
-                    sub, batch_ix, datas, noises, cfg, chunk_path, n_lat,
+                    sub, batch_ix, datas, noises, cfg,
+                    chunk_path_of(chunk_id), n_lat,
                 )
                 chunk_id += 1
         log.info("fit_cube: fitting done in %.1fs", time.time() - t_start)
 
-        store.link_files()
-        store.hdf.flush()
-        store.close()
+        if host_shard and pc > 1:
+            # cross-host barrier before process 0 links, when the
+            # runtime provides one (TPU pods); the 2-process CPU test
+            # instead links from the parent after workers exit
+            try:
+                from jax.experimental import multihost_utils
+                multihost_utils.sync_global_devices("nestfit_fit_cube")
+            except Exception:
+                log.warning("no cross-host barrier available; "
+                            "link chunk shards externally")
+                link = False
+        if store is not None:
+            if link:
+                store.link_files()
+            store.hdf.flush()
+            store.close()
         return store
 
     def _run_batch_with_retry(self, key, batch_ix, datas, noises, cfg,

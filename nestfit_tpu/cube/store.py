@@ -36,6 +36,30 @@ def check_ext(store_name, ext="hdf"):
     return name if name.endswith(f".{ext}") else f"{name}.{ext}"
 
 
+def discover_chunks(store_dir):
+    """All chunk files in a store directory, sorted by name.
+
+    Matches both the single-host numbered chunks (``chunk<j>.hdf``)
+    and per-host shards (``chunk_h<process>_<j>.hdf``); works without
+    opening ``table.hdf``, so multi-host worker processes can use it
+    concurrently with the writer."""
+    return sorted(Path(store_dir).glob("chunk*.hdf"))
+
+
+def completed_pixels(store_dir):
+    """Flat pixel indices recorded as completed across all chunk files
+    of a store directory (standalone: no table.hdf access, safe from
+    any host process)."""
+    done = []
+    for chunk_path in discover_chunks(store_dir):
+        with h5py.File(chunk_path, "r") as chunk:
+            if "completed" in chunk:
+                done.append(chunk["completed"][...])
+    if not done:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(done))
+
+
 class HdfStore:
     """Chunked HDF5 store with the reference-compatible layout."""
 
@@ -71,6 +95,13 @@ class HdfStore:
             for i in range(self.nchunks)
         ]
 
+    def all_chunk_paths(self):
+        """Every chunk file present in the store directory, including
+        per-host shards (``chunk_h<process>_<j>.hdf``) written by
+        multi-host runs (docs/store_spec.rst:12-20 analogue; see
+        parallel/distributed.py)."""
+        return discover_chunks(self.store_dir)
+
     @property
     def is_open(self):
         # an h5py.File is falsy once closed
@@ -103,9 +134,10 @@ class HdfStore:
 
     def link_files(self):
         """External-link every chunk's pixel groups into table.hdf
-        (layout per docs/store_spec.rst:12-20)."""
+        (layout per docs/store_spec.rst:12-20), including per-host
+        shard chunks from multi-host runs."""
         assert self.is_open
-        for chunk_path in self.chunk_paths:
+        for chunk_path in self.all_chunk_paths():
             if not chunk_path.exists():
                 continue
             with h5py.File(chunk_path, "r") as chunk:
@@ -133,16 +165,7 @@ class HdfStore:
 
     def completed_pixels(self):
         """Flat pixel indices recorded as completed across all chunks."""
-        done = []
-        for chunk_path in self.chunk_paths:
-            if not chunk_path.exists():
-                continue
-            with h5py.File(chunk_path, "r") as chunk:
-                if "completed" in chunk:
-                    done.append(chunk["completed"][...])
-        if not done:
-            return np.empty(0, dtype=np.int64)
-        return np.unique(np.concatenate(done))
+        return completed_pixels(self.store_dir)
 
     @staticmethod
     def mark_completed(chunk_hdf, flat_ix):

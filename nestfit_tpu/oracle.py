@@ -10,6 +10,17 @@ written directly from the physics with absolute frequencies (no
 relative-axis trick, no scan, no broadcasting cleverness).  The JAX
 kernels are cross-validated against it channel by channel, and the
 synthetic-spectrum generator uses it to produce truth spectra.
+
+Caveat on independence: the *physics* functions here are derived
+directly from the radiative-transfer equations and are genuinely
+independent of both the JAX kernels and the reference.  The
+``OracleDistribution`` CDF/interval helpers further down are NOT --
+they are a deliberate scalar Python transliteration of the reference's
+prior-interpolation algorithms (core.pyx:65-161, 392-434), kept as a
+line-level parity mirror.  Prior tests that use them therefore
+validate the JAX code against a port of the reference algorithm, not
+against an independently derived result; an independent quadrature
+cross-check lives in tests/test_priors.py::test_cdf_interval_quadrature.
 """
 
 import numpy as np

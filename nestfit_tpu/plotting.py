@@ -39,6 +39,30 @@ class StorePlotter:
         self.n_lon = int(self.hdf.attrs["naxis1"])
         self.n_lat = int(self.hdf.attrs["naxis2"])
         self.par_names = list(self.hdf.attrs.get("par_names", []))
+        # linear sky-offset axes from the stored header (the reference
+        # draws full WCS axes via astropy, plotting.py:147-336; without
+        # astropy a linear CDELT/CRPIX offset scale is exact for the
+        # small fields this pipeline maps)
+        self.sky_extent = None
+        self.sky_labels = ("longitude pixel", "latitude pixel")
+        try:
+            hdr = store.read_header(full=False)
+            cd1 = float(hdr.get("CDELT1", 0.0)) * 60.0   # deg -> arcmin
+            cd2 = float(hdr.get("CDELT2", 0.0)) * 60.0
+            cr1 = float(hdr.get("CRPIX1", 1.0)) - 1.0    # FITS 1-based
+            cr2 = float(hdr.get("CRPIX2", 1.0)) - 1.0
+            if cd1 != 0.0 and cd2 != 0.0:
+                self.sky_extent = (
+                    (-0.5 - cr1) * cd1, (self.n_lon - 0.5 - cr1) * cd1,
+                    (-0.5 - cr2) * cd2, (self.n_lat - 0.5 - cr2) * cd2,
+                )
+                ct1 = str(hdr.get("CTYPE1", "RA"))[:8].split("-")[0]
+                ct2 = str(hdr.get("CTYPE2", "DEC"))[:8].split("-")[0]
+                self.sky_labels = (
+                    f"{ct1} offset (arcmin)", f"{ct2} offset (arcmin)"
+                )
+        except Exception:
+            pass
 
     def _save(self, fig, name):
         path = self.plot_dir / f"{name}.pdf"
@@ -47,11 +71,16 @@ class StorePlotter:
         return path
 
     def _imshow(self, ax, img, **kwargs):
-        # img in (b, l); origin lower to match sky maps
+        # img in (b, l); origin lower to match sky maps.  Axes carry
+        # linear sky offsets from the stored header when available
+        # (WCS-axes analogue, reference plotting.py:147-336).
+        if self.sky_extent is not None:
+            kwargs.setdefault("extent", self.sky_extent)
+            kwargs.setdefault("aspect", "auto")
         im = ax.imshow(img, origin="lower", cmap=kwargs.pop("cmap", _CMAP),
                        **kwargs)
-        ax.set_xlabel("longitude pixel")
-        ax.set_ylabel("latitude pixel")
+        ax.set_xlabel(self.sky_labels[0])
+        ax.set_ylabel(self.sky_labels[1])
         return im
 
     def plot_nbest(self, name="map_nbest", conv=False):

@@ -253,6 +253,16 @@ def tapered_interval_invert(dist: Distribution, u, x_lo, x_hi, sfact: int):
     Supports ``sfact in (0, 1, 2)`` (components ``ncomp - 1 - i`` of an
     ``ncomp <= 3`` fit); callers fall back to the dense path above for
     higher exponents.
+
+    Precision class: the float32 moment tables ``t0/t1c/t2c`` are
+    cumulative, so a *narrow* interval far from the grid center is
+    evaluated as a difference of two nearly equal sums and suffers
+    cancellation -- the f32 result is guaranteed only to ~2.5 grid
+    cells of the f64 reference (looser than the dense path's
+    per-interval cumsum, which is accurate to ~1 cell).  Callers with
+    fine placement windows (interval spans of only a few grid cells)
+    should use the dense ``cdf_over_interval`` path or widen the grid
+    resolution.
     """
     s = int(sfact)
     assert 0 <= s <= 2, "tapered_interval_invert supports sfact in (0,1,2)"

@@ -158,8 +158,16 @@ def posterior_products(
     bestfit = jnp.take_along_axis(
         theta_all, best_ix[:, None, None], axis=1
     )[:, 0, :]
-    # uniform prior on the unit cube: the MAP point is the max-L point
-    map_params = bestfit
+    # MAP: the sample carrying the largest posterior mass (argmax of
+    # lnw + lnl), distinct from the max-likelihood point -- the
+    # analogue of MultiNest's separate MAP vector (reference
+    # core.pyx:677-687, pcon_arr[3] vs pcon_arr[2]).  The max-L point
+    # is typically a deep late-iteration sample with negligible
+    # weight; the max-mass sample sits in the posterior bulk.
+    map_ix = jnp.argmax(lnp, axis=1)
+    map_params = jnp.take_along_axis(
+        theta_all, map_ix[:, None, None], axis=1
+    )[:, 0, :]
     mean = jnp.sum(w[..., None] * theta_all, axis=1)
     var = jnp.sum(w[..., None] * (theta_all - mean[:, None, :]) ** 2, axis=1)
     return PosteriorProducts(

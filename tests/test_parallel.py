@@ -109,6 +109,61 @@ def test_cube_fitter_with_mesh(tmp_path):
         assert n_sig == 2
 
 
+@pytest.mark.slow
+def test_two_process_store_shards(tmp_path):
+    """End-to-end two-process multi-host run (VERDICT r1 item 7): two
+    OS processes under ``jax.distributed`` each fit their
+    ``host_pixel_shard`` of the same synthetic cube and write per-host
+    chunk shards; the parent then external-links the shards into
+    ``table.hdf`` and the full field must be present and correct
+    (reference analogue: per-process chunk files, main.py:505-523 +
+    docs/store_spec.rst:12-20)."""
+    import socket
+    import subprocess
+
+    # free port for the jax.distributed coordinator
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    store_name = str(tmp_path / "dist_cube")
+    import os
+    import pathlib
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    worker = str(pathlib.Path(__file__).parent / "_dist_worker.py")
+    procs = [
+        subprocess.Popen(
+            ["python", worker, coord, str(pid), "2", store_name],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            cwd="/root/repo",
+        )
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=900)[0].decode() for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+
+    # the parent is the post-run coordinator: link all host shards
+    with HdfStore(store_name) as store:
+        shard_files = [p.name for p in store.all_chunk_paths()]
+        assert any(f.startswith("chunk_h0_") for f in shard_files), (
+            shard_files, outs[0][-500:]
+        )
+        assert any(f.startswith("chunk_h1_") for f in shard_files), (
+            shard_files, outs[1][-500:]
+        )
+        store.link_files()
+        groups = list(store.iter_pix_groups())
+        assert len(groups) == 8
+        n_sig = sum(1 for g in groups if g.attrs["nbest"] == 1)
+        assert n_sig == 2
+        # completion manifest covers every pixel exactly once
+        assert store.completed_pixels().size == 8
+
+
 def test_distributed_single_process():
     """Multi-host utilities degrade to no-ops on one process."""
     from nestfit_tpu.parallel.distributed import (

@@ -66,6 +66,41 @@ def test_cdf_roundtrip():
     np.testing.assert_allclose(np.asarray(us), u2, atol=5e-3)
 
 
+def test_cdf_interval_quadrature():
+    """Independent check of the tapered interval CDF against direct
+    fine-grid quadrature of the *analytic* integrand.
+
+    The oracle's ``cdf_over_interval`` is a transliteration of the
+    reference algorithm (see oracle.py module docstring), so agreement
+    with it only proves faithful porting.  Here the same quantity --
+    F(x) = int_lo^x p(s) (1 - (s-lo)/(hi-lo))^sfact ds, renormalized
+    -- is integrated from the analytic Gaussian pdf on a 40x finer
+    grid with no shared code, and the implementation must match to
+    grid-discretization accuracy."""
+    dist, x, y = gauss_dist()
+    dx = x[1] - x[0]
+    for (lo, hi, sfact) in [(-2.0, 1.0, 0.0), (-1.5, 2.5, 1.0),
+                            (-3.0, 3.0, 2.0)]:
+        cdf = np.asarray(cdf_over_interval(dist, lo, hi, sfact))
+        # fine quadrature, snapped to the implementation's cell
+        # convention (taper measured in grid-index space from the
+        # cell containing lo to the cell containing hi)
+        i_lo = int(np.clip((lo - x[0]) / dx, 0, len(x) - 1))
+        i_hi = int(np.clip((hi - x[0]) / dx, 1, len(x)))
+        a, b = x[0] + i_lo * dx, x[0] + i_hi * dx
+        xs = np.linspace(a, b, 40 * (i_hi - i_lo) + 1)
+        ps = np.exp(-0.5 * xs**2) * (1.0 - (xs - a) / (b - a)) ** sfact
+        fine = np.concatenate(
+            [[0.0], np.cumsum(0.5 * (ps[1:] + ps[:-1]) * np.diff(xs))]
+        )
+        fine /= fine[-1]
+        got = cdf[i_lo:i_hi + 1]
+        want = np.interp(x[i_lo:i_hi + 1], xs, fine)
+        # trapezoid-on-the-coarse-grid vs fine quadrature: agreement
+        # to O(dx) near the taper edge, better in the interior
+        assert np.max(np.abs(got - want)) < 0.02, (lo, hi, sfact)
+
+
 def test_cdf_over_interval_vs_oracle():
     dist, x, y = gauss_dist()
     for (lo, hi, sfact) in [(-2.0, 1.0, 0.0), (-1.5, 2.5, 1.0),
