@@ -8,6 +8,19 @@ nlive=100, tol=1.0 (reference: main.py:381-386) and the IRDC priors
 (prior_constructors.py:20-76).  One "fit" = one pixel through the full
 1->2 component ladder including posterior products.
 
+Protocol: a warmup ladder (includes all XLA compiles) followed by a
+clean timed ladder on fresh keys; the reported number is the clean
+pass whenever the budget allows (the warmup pass is an upper bound on
+a clean pass, so the check is conservative).  Alongside the headline
+number the bench records per-rung wall/evals telemetry and enforces
+two accuracy gates so a perf "win" can never silently trade away
+correctness (VERDICT r1 items 2/4):
+
+* model-selection quality: fraction of pixels recovering nbest >= 1
+  and nbest == 2 on the 2-component-truth cube;
+* lnZ agreement with the in-repo sequential C++ engine (the
+  MultiNest-agreement analogue) on a pixel sample.
+
 Baseline: the reference publishes no timing tables (BASELINE.md), so
 the baseline is *measured* here: the in-repo native C++ engine
 (cpp/nestfit_native.cpp) runs the same 1->2 component ladder with a
@@ -101,20 +114,22 @@ def main():
 
     def ladder(key, tag=""):
         k1, k2 = random.split(key)
-        t0 = time.perf_counter()
-        r1 = fit_batch(k1, runners[1], n_pix, cfg, segment_iters=seg)
-        jax.block_until_ready(r1.lnz)
-        log(f"bench: {tag} ncomp=1 rung {time.perf_counter() - t0:.1f}s")
-        t0 = time.perf_counter()
-        r2 = fit_batch(k2, runners[2], n_pix, cfg, segment_iters=seg)
-        jax.block_until_ready(r2.lnz)
-        log(f"bench: {tag} ncomp=2 rung {time.perf_counter() - t0:.1f}s")
-        return r1, r2
+        results, walls = {}, {}
+        for n, k in ((1, k1), (2, k2)):
+            t0 = time.perf_counter()
+            r = fit_batch(k, runners[n], n_pix, cfg, segment_iters=seg)
+            jax.block_until_ready(r.lnz)
+            walls[n] = time.perf_counter() - t0
+            nc = np.asarray(r.ns.ncall, dtype=np.int64)
+            log(f"bench: {tag} ncomp={n} rung {walls[n]:.1f}s "
+                f"evals/px={nc.mean():.0f} "
+                f"deaths/px={np.asarray(r.ns.n_dead).mean():.0f}")
+            results[n] = r
+        return results, walls
 
     log("bench: compiling + warmup ...")
     t0 = time.perf_counter()
-    r1, r2 = ladder(random.key(0), tag="warmup")
-    jax.block_until_ready((r1.lnz, r2.lnz))
+    results, _ = ladder(random.key(0), tag="warmup")
     t_warm = time.perf_counter() - t0
     log(f"bench: warmup (incl. compile) {t_warm:.1f}s "
         f"(budget left {remaining():.0f}s)")
@@ -126,14 +141,16 @@ def main():
     timed_clean = remaining() - baseline_reserve > 0.9 * t_warm + 60
     if timed_clean:
         t0 = time.perf_counter()
-        r1, r2 = ladder(random.key(seed), tag="timed")
-        jax.block_until_ready((r1.lnz, r2.lnz))
+        results, walls = ladder(random.key(seed), tag="timed")
         elapsed = time.perf_counter() - t0
+        log(f"bench: clean timed pass {elapsed:.1f}s "
+            f"(rung1 {walls[1]:.1f}s rung2 {walls[2]:.1f}s)")
     else:
         log("bench: budget too tight for a clean pass; "
             "reporting warmup timing (includes compile)")
         elapsed = t_warm
 
+    r1, r2 = results[1], results[2]
     lnz1 = np.asarray(r1.lnz)
     lnz2 = np.asarray(r2.lnz)
     null = np.asarray(r1.null_lnz)
@@ -152,25 +169,72 @@ def main():
         f"likelihood evals/pixel={ncall.mean():.0f} "
         f"nbest histogram={np.bincount(nbest, minlength=3).tolist()}"
     )
-    # truth is >= 1 component everywhere; sanity-check selection quality
     log(f"bench: mean lnZ1-null={np.mean(lnz1 - null):.1f} "
         f"mean lnZ2-lnZ1={np.mean(lnz2 - lnz1):.1f}")
 
-    cpu_rate = measure_cpu_baseline(xa11, d11, xa22, d22, noise, nlive)
+    # ---- accuracy gate 1: model selection on the 2-comp-truth cube.
+    # Truth is 2 components everywhere; low-SNR / small-vsep pixels
+    # legitimately prefer fewer, so gate on floors calibrated from the
+    # round-1 baseline ([24, 560, 440] at seed 5), with slack for seed
+    # scatter.  A sampler perf regression that loses modes or biases
+    # lnZ differences shows up here first.
+    frac_ge1 = float((nbest >= 1).mean())
+    frac_eq2 = float((nbest == 2).mean())
+    gates = {
+        "converged_frac": float(conv.mean()),
+        "nbest_ge1_frac": frac_ge1,
+        "nbest_eq2_frac": frac_eq2,
+    }
+    ok_sel = frac_ge1 >= 0.90 and frac_eq2 >= 0.30 and conv.mean() >= 0.98
+    log(f"bench: selection gate {'PASS' if ok_sel else 'FAIL'} "
+        f"(>=1: {frac_ge1:.2f}, ==2: {frac_eq2:.2f}, "
+        f"conv: {conv.mean():.3f})")
+
+    # ---- accuracy gate 2 + baseline: sequential C++ engine on a
+    # pixel sample (the MultiNest-agreement analogue).  The same runs
+    # provide the CPU-baseline rate and the per-pixel lnZ comparison.
+    cpu_rate, agree = measure_cpu_baseline(
+        xa11, d11, xa22, d22, noise, nlive,
+        (lnz1, np.asarray(r1.ns.lnz_err)),
+        (lnz2, np.asarray(r2.ns.lnz_err)),
+    )
     log(f"bench: CPU baseline {cpu_rate:.3f} ladder-fits/s/core")
+    ok_agree = True
+    if agree:
+        dz = np.array([a["dz_sigma"] for a in agree])
+        ok_agree = bool(np.median(np.abs(dz)) < 6.0 and
+                        np.max(np.abs(dz)) < 20.0)
+        log(f"bench: lnZ-agreement gate {'PASS' if ok_agree else 'FAIL'} "
+            f"(|dz|/sigma median {np.median(np.abs(dz)):.2f}, "
+            f"max {np.max(np.abs(dz)):.2f}, n={len(dz)})")
+        gates["lnz_dz_sigma_median"] = float(np.median(np.abs(dz)))
+        gates["lnz_dz_sigma_max"] = float(np.max(np.abs(dz)))
+
+    value = round(fits_per_sec, 3)
+    if not (ok_sel and ok_agree):
+        # accuracy regressions fail loudly: zero out the headline so
+        # the driver records the failure rather than a tainted number
+        log("bench: ACCURACY GATE FAILED -- reporting 0")
+        value = 0.0
 
     return {
         "metric": "spectra_fit_per_sec_per_chip",
-        "value": round(fits_per_sec, 3),
+        "value": value,
         "unit": "ladder-fits/s/chip",
-        "vs_baseline": round(fits_per_sec / cpu_rate, 2),
+        "vs_baseline": round(value / cpu_rate, 2),
+        "timed_clean": bool(timed_clean),
+        "warmup_s": round(t_warm, 1),
+        "evals_per_pixel": int(ncall.mean()),
+        "gates": gates,
     }
 
 
-def measure_cpu_baseline(xa11, d11, xa22, d22, noise, nlive,
+def measure_cpu_baseline(xa11, d11, xa22, d22, noise, nlive, rung1, rung2,
                          n_sample=None):
     """Single-core sequential C++ ladder rate on a pixel sample,
-    time-boxed to the remaining budget."""
+    time-boxed to the remaining budget.  Also returns the per-pixel
+    lnZ agreement records for the accuracy gate."""
+    agree = []
     try:
         from nestfit_tpu import native
         from nestfit_tpu.priors import get_irdc_priors
@@ -189,22 +253,30 @@ def measure_cpu_baseline(xa11, d11, xa22, d22, noise, nlive,
             spec_data = [
                 (xa11, d11[i], noise, 1), (xa22, d22[i], noise, 2),
             ]
-            native.ns_spectral_ammonia(
+            res1 = native.ns_spectral_ammonia(
                 spec_data, ppf1, ncomp=1, nlive=nlive, tol=1.0, seed=i,
             )
-            native.ns_spectral_ammonia(
+            res2 = native.ns_spectral_ammonia(
                 spec_data, ppf2, ncomp=2, nlive=nlive, tol=1.0, seed=i,
             )
             done += 1
+            for res, (lnz, lnz_err) in ((res1, rung1), (res2, rung2)):
+                sig = max(
+                    float(np.hypot(res["lnz_err"], lnz_err[i])), 0.3
+                )
+                agree.append({
+                    "pixel": i,
+                    "dz_sigma": (float(lnz[i]) - res["lnz"]) / sig,
+                })
             if time.perf_counter() - t0 > box_s:
                 break
         dt = time.perf_counter() - t0
         if done == 0:
             raise RuntimeError("no baseline pixel finished in budget")
-        return done / dt
+        return done / dt, agree
     except Exception as exc:  # pragma: no cover
         log(f"bench: CPU baseline unavailable ({exc}); using fallback")
-        return CPU_FITS_PER_SEC_FALLBACK
+        return CPU_FITS_PER_SEC_FALLBACK, agree
 
 
 if __name__ == "__main__":

@@ -72,6 +72,9 @@ from jax import lax, random
 
 _NEG = -1e30  # sentinel for log-zero; avoids inf-inf NaNs in f32
 
+import os as _os
+_NS_DEBUG = bool(_os.environ.get("NESTFIT_NS_DEBUG"))
+
 
 @dataclasses.dataclass(frozen=True)
 class NSConfig:
@@ -89,7 +92,13 @@ class NSConfig:
     nlive: int = 100
     tol: float = 1.0              # remaining-evidence termination (dlogz)
     max_iter: int = 0             # max deaths per run; 0 -> auto: 120 * nlive
-    method: str = "ellipsoid"     # "ellipsoid" (fast) or "slice" (robust)
+    method: str = "auto"          # "auto" (host-adaptive candidate ->
+    #                               kill+slice regime switch in
+    #                               segmented mode; identical to
+    #                               "ellipsoid" when traced),
+    #                               "ellipsoid" (candidate blocks +
+    #                               slice rescue), or "slice"
+    #                               (kill_k=1 slice chains only)
     kill_k: int = 0               # points killed per fill-cycle; 0 -> auto
     cand_factor: int = 2          # proposal candidates per kill slot
     n_clusters: int = 3           # bounding ellipsoids per run (mmodal)
@@ -113,28 +122,23 @@ class NSConfig:
     #                               uniformly
     block_iters: int = 8          # candidate iterations between
     #                               slice-fill passes
-    cand_min_acc: float = -1.0    # candidate acceptance below which
-    #                               ns_segment switches to kill+slice
-    #                               iterations; <= 0 disables the
-    #                               switch (default).  The kill+slice
-    #                               regime is ~3x faster per death in
-    #                               slice-dominated regimes ONLY when
-    #                               paired with decorrelation-grade
-    #                               fallback_repeats (>= ndim/2) --
-    #                               with the default shallow repeats
-    #                               its extra slice throughput turns
-    #                               into correlated insertions and
-    #                               occasional mode loss.  Enable
-    #                               (e.g. 0.12) together with
-    #                               fallback_repeats >= ndim // 2 for
-    #                               precision work on slice-heavy
-    #                               posteriors.
-    cand_recheck: float = 0.003   # EMA bump per kill+slice iteration:
-    #                               candidates get re-auditioned every
-    #                               ~cand_min_acc/cand_recheck
-    #                               iterations in case the contour
-    #                               geometry became ellipsoid-friendly
-    #                               again
+    cand_min_acc: float = 0.05    # candidate-acceptance EMA below which
+    #                               the segmented "auto" method retires
+    #                               the candidate program and switches
+    #                               (one-way) to the kill+slice
+    #                               program.  Candidate inserts are
+    #                               INDEPENDENT draws (no slice
+    #                               correlation bias), so they stay
+    #                               preferred until a death costs more
+    #                               than a decorrelated slice chain
+    #                               (~fallback_repeats * 4-5 evals):
+    #                               1/0.05 = 20 evals/death break-even.
+    switch_iters: int = 16        # candidate-phase segment length in
+    #                               "auto" mode: the host re-checks the
+    #                               acceptance EMA every this many
+    #                               iterations (bounds the evals wasted
+    #                               in a collapsed candidate regime to
+    #                               switch_iters * n_cand per run)
     stall_limit: int = 64         # consecutive zero-fill iterations
     #                               after which a run is abandoned
     #                               (marked done, not converged).
@@ -147,30 +151,55 @@ class NSConfig:
     #                               whole batch grinds to the
     #                               iteration cap -- minutes of tail
     #                               for one stuck run
-    n_repeats: int = 0            # slice steps per replacement; 0 -> 2*ndim
-    max_expand: int = 2           # stepping-out rounds per slice step
-    max_contract: int = 14        # shrinkage rounds per slice step
-    #                               (ultra-peaked high-SNR contours
-    #                               need deep brackets; typical chains
-    #                               exit the loop after 2-4 rounds)
-    step_scale: float = 2.0       # initial slice width (whitened units)
+    n_repeats: int = 0            # slice steps per replacement for
+    #                               method="slice"; 0 -> 2*ndim
+    max_contract: int = 8         # shrinkage rounds per slice step.
+    #                               The analytic bracket starts at the
+    #                               bounding-ellipsoid chord (~10
+    #                               whitened units), so typical chains
+    #                               accept after 3-6 shrink rounds;
+    #                               lanes that exhaust the budget keep
+    #                               their current point (a rare, valid
+    #                               rejection -- mixing loss only)
     cov_reg: float = 1e-10        # covariance diagonal regularizer
-    ell_fudge: float = 1.1        # ellipsoid enlargement over max Mahalanobis
+    ell_fudge: float = 1.05       # ellipsoid enlargement over max
+    #                               Mahalanobis radius.  The radius
+    #                               already covers the zombie shell
+    #                               (outside the contour), so the
+    #                               margin's role is small; 1.1 cost
+    #                               (1.1/1.05)^12 ~ 1.75x candidate
+    #                               acceptance at D=12 for no measured
+    #                               accuracy gain
     efr: float = 0.0              # MultiNest sampling-efficiency knob
     #                               (core.pyx:748-751): > 0 enlarges
     #                               every bounding ellipsoid's VOLUME
     #                               by 1/efr (radius by
     #                               (1/efr)^(1/d)), on top of
-    #                               ell_fudge; 0 -> disabled (the
-    #                               default bounding already covers
-    #                               the threshold shell)
+    #                               ell_fudge; 0 -> disabled.  Values
+    #                               > 1 are clamped to no-op (the
+    #                               multiplier is max(1, .) so efr can
+    #                               only enlarge, never truncate the
+    #                               bound -- reference asserts
+    #                               0 < efr <= 1, core.pyx:750)
     ell_cands: int = 0            # legacy alias: overrides cand_factor*kill_k
-    ell_tries: int = 8            # retained for API compat (unused)
+    dir_mode: str = "mix"         # slice direction set: "gauss"
+    #                               (isotropic whitened), "diff"
+    #                               (random survivor differences --
+    #                               stretch-move style, adapts to
+    #                               contour curvature), or "mix"
+    #                               (alternate diff/gauss).  See
+    #                               _slice_chains.
     fallback_repeats: int = 0     # slice steps per chain in the fill
-    #                               passes; 0 -> max(2, ndim // 2)
-    #                               (the decorrelation depth needed
-    #                               for unbiased insertion -- see
-    #                               ns_slice_fill)
+    #                               passes; 0 -> max(2, ndim // 2).
+    #                               The residual lnZ bias of the
+    #                               batched fills is ~5.3/repeats nats
+    #                               at D=12 when EVERY insert is a
+    #                               slice fill (measured, analytic
+    #                               Gaussian; candidate-phase
+    #                               independent inserts dilute it in
+    #                               practice) -- pinned by
+    #                               test_slice_fill_bias tests; see
+    #                               docs/limitations.md
     init_chunk: int = 32          # live-point chunk for the init evals
     min_compact: int = 256        # smallest compacted batch (segmented
     #                               mode).  Each compacted size class
@@ -188,6 +217,12 @@ class NSConfig:
     def resolved(self, ndim: int) -> "NSConfig":
         max_iter = self.max_iter if self.max_iter > 0 else 120 * self.nlive
         n_repeats = self.n_repeats if self.n_repeats > 0 else 2 * ndim
+        # decorrelation depth of the slice fills: ndim/2 whitened
+        # repeats per insert (the measured bias is ~5.3/repeats nats at
+        # D=12 in fully slice-dominated regimes -- see
+        # docs/limitations.md); floor of 2 for low dimensions
+        fallback = self.fallback_repeats if self.fallback_repeats > 0 \
+            else max(2, ndim // 2)
         if self.method == "slice":
             kill_k = 1
         elif self.kill_k > 0:
@@ -199,7 +234,8 @@ class NSConfig:
             # batches instead of many tiny sequential proposal rounds
             kill_k = max(1, self.nlive // 4)
         return dataclasses.replace(
-            self, max_iter=max_iter, n_repeats=n_repeats, kill_k=kill_k
+            self, max_iter=max_iter, n_repeats=n_repeats, kill_k=kill_k,
+            fallback_repeats=fallback,
         )
 
     def n_cand(self) -> int:
@@ -298,84 +334,196 @@ class NSResult:
         return self.n_dead + self.nlive
 
 
-def _shrink_step(loglike2, data, shift, x0, lnl0, dirv, lnl_star, done, cfg):
-    """One slice: stepping-out then shrinkage along direction ``dirv``.
+def _line_bracket(x, dirv, z, nvec, rmax):
+    """Analytic slice bracket: the t-interval of the line ``x + t *
+    dirv`` inside both the global bounding ellipsoid (whitened coords
+    ``z + t * nvec``, radius ``rmax``) and the unit cube.
 
-    x0/lnl0: current chain point [..., D]/[...] (satisfies
-    lnl0 > lnl_star); arbitrary leading batch dims (the multi-chain
-    fallback batches ``[n_chains, R]`` chains through one launch).
+    Replaces Neal stepping-out: the bounding ellipsoid already covers
+    the whole constrained region (it covers every live and
+    threshold-shell point, times ``ell_fudge``), so its chord is a
+    bracket that needs zero likelihood evaluations to establish.  The
+    interval depends only on the *line* -- not on where the current
+    point sits along it -- so shrinkage from it is reversible
+    (Neal 2003 sec. 4; the PolyChord bracket strategy).  t = 0 (the
+    current point) is always inside.
+
+    x : [..., D] cube coords; dirv : [..., D] cube-space direction
+    (flat dims zero); z : [..., D] whitened coords of ``x``; nvec :
+    [..., D] whitened direction (flat dims zero); rmax broadcastable
+    to [...].
     """
+    dtype = x.dtype
+    big = jnp.asarray(1e30, dtype)
+    a = jnp.sum(nvec**2, axis=-1)
+    b = 2.0 * jnp.sum(z * nvec, axis=-1)
+    c = jnp.sum(z**2, axis=-1) - rmax**2
+    disc = jnp.sqrt(jnp.maximum(b * b - 4.0 * a * c, 0.0))
+    a2 = jnp.maximum(2.0 * a, jnp.asarray(1e-30, dtype))
+    te_lo = (-b - disc) / a2
+    te_hi = (-b + disc) / a2
+    eps = jnp.asarray(1e-12, dtype)
+    pos = dirv > eps
+    neg = dirv < -eps
+    safe = jnp.where(pos | neg, dirv, 1.0)
+    t_hi_d = jnp.where(pos, (1.0 - x) / safe,
+                       jnp.where(neg, (0.0 - x) / safe, big))
+    t_lo_d = jnp.where(neg, (1.0 - x) / safe,
+                       jnp.where(pos, (0.0 - x) / safe, -big))
+    t_lo = jnp.maximum(te_lo, jnp.max(t_lo_d, axis=-1))
+    t_hi = jnp.minimum(te_hi, jnp.min(t_hi_d, axis=-1))
+    return jnp.minimum(t_lo, 0.0), jnp.maximum(t_hi, 0.0)
 
-    def clipped_eval(xp):
-        xq = jnp.clip(xp, 0.0, 1.0)
-        inb = jnp.all((xp >= 0.0) & (xp <= 1.0), axis=-1)
-        lnl = loglike2(xq, data) - shift
-        return jnp.where(inb, lnl, _NEG)
 
-    def make(key):
-        k_off, k_shrink = random.split(key)
-        r0 = random.uniform(k_off, lnl_star.shape, dtype=x0.dtype)
-        w = jnp.asarray(cfg.step_scale, dtype=x0.dtype)
-        t_lo0 = -w * r0
-        t_hi0 = t_lo0 + w
+def _shrink_slice(loglike2, data, shift, key, x0, lnl0, dirv, t_lo0,
+                  t_hi0, lnl_star, done, cfg):
+    """Shrinkage-only slice step from an analytic bracket.
 
-        # --- stepping out (Neal 2003), bounded rounds w/ early exit
-        def expand_cond(carry):
-            j, t_lo, t_hi, open_lo, open_hi, ncall = carry
-            return (j < cfg.max_expand) & jnp.any(
-                (open_lo | open_hi) & ~done
-            )
+    One likelihood trace (the compile-time hot spot: the old
+    stepping-out variant traced the model three times per step).
+    x0/lnl0: current chain point [..., D]/[...] (satisfies lnl0 >
+    lnl_star); arbitrary leading batch dims.  Returns ``(x, lnl,
+    t_acc, acc, ncall)`` where ``t_acc`` is the accepted step length
+    (0 where rejected) so callers can update whitened coordinates
+    incrementally.
+    """
+    dtype = x0.dtype
 
-        def expand_body(carry):
-            j, t_lo, t_hi, open_lo, open_hi, ncall = carry
-            lnl_lo = clipped_eval(x0 + t_lo[..., None] * dirv)
-            lnl_hi = clipped_eval(x0 + t_hi[..., None] * dirv)
-            open_lo = open_lo & (lnl_lo > lnl_star)
-            open_hi = open_hi & (lnl_hi > lnl_star)
-            t_lo = jnp.where(open_lo, t_lo - w, t_lo)
-            t_hi = jnp.where(open_hi, t_hi + w, t_hi)
-            ncall = ncall + 2 * jnp.where(done, 0, 1)
-            return j + 1, t_lo, t_hi, open_lo, open_hi, ncall
+    def sh_cond(carry):
+        j, _key, _t_lo, _t_hi, _x, _lnl, _t_acc, acc, _ncall = carry
+        return (j < cfg.max_contract) & jnp.any(~(acc | done))
 
-        ones = jnp.ones_like(lnl_star, dtype=bool)
-        _, t_lo, t_hi, _, _, ncall = lax.while_loop(
-            expand_cond, expand_body,
-            (jnp.int32(0), t_lo0, t_hi0, ones, ones,
-             jnp.zeros_like(lnl_star, dtype=jnp.int32)),
+    def sh_body(carry):
+        j, key, t_lo, t_hi, x, lnl, t_acc, acc, ncall = carry
+        key, kt = random.split(key)
+        t = t_lo + (t_hi - t_lo) * random.uniform(
+            kt, lnl_star.shape, dtype=dtype
         )
+        # the bracket is cube-intersected, so xp is in-cube up to
+        # rounding; clip instead of penalizing
+        xp = jnp.clip(x0 + t[..., None] * dirv, 0.0, 1.0)
+        lnlp = loglike2(xp, data) - shift
+        ok = lnlp > lnl_star
+        newly = ok & ~acc
+        x = jnp.where(newly[..., None], xp, x)
+        lnl = jnp.where(newly, lnlp, lnl)
+        t_acc = jnp.where(newly, t, t_acc)
+        acc = acc | ok
+        miss = ~acc
+        t_lo = jnp.where(miss & (t < 0), t, t_lo)
+        t_hi = jnp.where(miss & (t >= 0), t, t_hi)
+        ncall = ncall + jnp.where(done, 0, 1)
+        return j + 1, key, t_lo, t_hi, x, lnl, t_acc, acc, ncall
 
-        # --- shrinkage
-        def sh_cond(carry):
-            j, key, t_lo, t_hi, x, lnl, acc, ncall = carry
-            return (j < cfg.max_contract) & jnp.any(~(acc | done))
+    acc0 = jnp.zeros_like(lnl_star, dtype=bool)
+    zeros_t = jnp.zeros_like(lnl_star)
+    _, _, _, _, x, lnl, t_acc, acc, ncall = lax.while_loop(
+        sh_cond, sh_body,
+        (jnp.int32(0), key, t_lo0, t_hi0, x0, lnl0, zeros_t, acc0,
+         jnp.zeros_like(lnl_star, dtype=jnp.int32)),
+    )
+    return x, lnl, t_acc, acc, ncall
 
-        def sh_body(carry):
-            j, key, t_lo, t_hi, x, lnl, acc, ncall = carry
-            key, kt = random.split(key)
-            t = t_lo + (t_hi - t_lo) * random.uniform(
-                kt, lnl_star.shape, dtype=x0.dtype
-            )
-            xp = x0 + t[..., None] * dirv
-            lnlp = clipped_eval(xp)
-            ok = lnlp > lnl_star
-            newly = ok & ~acc
-            x = jnp.where(newly[..., None], xp, x)
-            lnl = jnp.where(newly, lnlp, lnl)
-            acc = acc | ok
-            miss = ~acc
-            t_lo = jnp.where(miss & (t < 0), t, t_lo)
-            t_hi = jnp.where(miss & (t >= 0), t, t_hi)
-            ncall = ncall + jnp.where(done, 0, 1)
-            return j + 1, key, t_lo, t_hi, x, lnl, acc, ncall
 
-        acc0 = jnp.zeros_like(lnl_star, dtype=bool)
-        _, _, _, _, x, lnl, acc, ncall = lax.while_loop(
-            sh_cond, sh_body,
-            (jnp.int32(0), k_shrink, t_lo, t_hi, x0, lnl0, acc0, ncall),
+def _slice_chains(key, loglike2, data, shift, x, z, lnl_x, thr_b, dead_b,
+                  chol, rmax, act, n_rep, cfg, u_all=None, order=None,
+                  n_surv=None):
+    """Advance ``[C, R]`` whitened slice chains by ``n_rep`` repeats.
+
+    x/z/lnl_x: chain points in cube and whitened coords; thr_b/dead_b:
+    [C, R] thresholds and dead-lane mask; chol/rmax: [R, D, D]/[R]
+    global bounding geometry.  Whitened coordinates update
+    incrementally (z' = z + t * nvec), so no per-repeat triangular
+    solves.  Returns (x, lnl_x, ncall[R], moved[C, R]).
+
+    Directions follow ``cfg.dir_mode``:
+
+    * ``"gauss"`` -- isotropic in the whitened metric (classic
+      whitened slice).
+    * ``"diff"`` -- the difference of two random *survivors* (the
+      stretch/differential-evolution direction set): moves ride the
+      live cloud's instantaneous shape, including curvature the global
+      covariance cannot see, which decorrelates warped contours in
+      fewer repeats.  Requires ``u_all`` [R, L, D], ``order`` [R, L]
+      (survivors listed first) and ``n_surv`` [R].
+    * ``"mix"`` -- alternate diff/gauss by repeat parity (diff first);
+      the gauss repeats guarantee full-rank direction coverage even
+      when the live cloud degenerates.
+
+    The direction distribution never depends on the chain's current
+    position, so slice reversibility is preserved.
+    """
+    C, R, D = x.shape
+    dtype = x.dtype
+    mode = cfg.dir_mode
+    if mode != "gauss" and (u_all is None or order is None
+                            or n_surv is None):
+        mode = "gauss"
+    rr = jnp.arange(R)
+
+    def gauss_dir(kd):
+        nvec = random.normal(kd, (C, R, D), dtype=dtype) * act
+        dirv = jnp.einsum("rde,cre->crd", chol, nvec)
+        return nvec, dirv
+
+    def diff_dir(kd):
+        ka, kb = random.split(kd)
+        ns = jnp.maximum(n_surv, 2)[None, :]               # [1, R]
+        ia = random.randint(ka, (C, R), 0, 1 << 30) % ns
+        ib = random.randint(kb, (C, R), 0, 1 << 30) % ns
+        # avoid zero directions from a == b
+        ib = jnp.where(ib == ia, (ib + 1) % ns, ib)
+        ca = jnp.take_along_axis(order, jnp.swapaxes(ia, 0, 1), axis=1)
+        cb = jnp.take_along_axis(order, jnp.swapaxes(ib, 0, 1), axis=1)
+        ua = u_all[rr[:, None], ca]                        # [R, C, D]
+        ub = u_all[rr[:, None], cb]
+        dirv = jnp.swapaxes(ua - ub, 0, 1) * act           # [C, R, D]
+        nvec = _whiten(chol, dirv)
+        # normalize to unit whitened length so the bracket and step
+        # lengths live on the same scale as the gauss mode
+        nrm = jnp.maximum(
+            jnp.linalg.norm(nvec, axis=-1, keepdims=True), 1e-30
         )
-        return x, lnl, acc, ncall
+        return nvec / nrm, dirv / nrm
 
-    return make
+    def rep(j, carry):
+        x, z, lnl_x, ncall, key, moved = carry
+        key, kd, ks = random.split(key, 3)
+        if mode == "gauss":
+            nvec, dirv = gauss_dir(kd)
+        elif mode == "diff":
+            nvec, dirv = diff_dir(kd)
+        else:  # mix: diff on even repeats, gauss on odd
+            nv_d, dv_d = diff_dir(kd)
+            nv_g, dv_g = gauss_dir(kd)
+            use_d = (j % 2) == 0
+            nvec = jnp.where(use_d, nv_d, nv_g)
+            dirv = jnp.where(use_d, dv_d, dv_g)
+        t_lo, t_hi = _line_bracket(x, dirv, z, nvec, rmax[None, :])
+        xn, lnln, t_acc, acc, nc = _shrink_slice(
+            loglike2, data, shift, ks, x, lnl_x, dirv, t_lo, t_hi,
+            thr_b, dead_b, cfg,
+        )
+        upd = (~dead_b) & acc
+        x = jnp.where(upd[..., None], xn, x)
+        z = z + jnp.where(upd, t_acc, 0.0)[..., None] * nvec
+        lnl_x = jnp.where(upd, lnln, lnl_x)
+        return (x, z, lnl_x, ncall + jnp.sum(nc, axis=0, dtype=jnp.int32),
+                key, moved | upd)
+
+    moved0 = jnp.zeros((C, R), dtype=bool)
+    zero_nc = jnp.zeros((R,), dtype=jnp.int32)
+    x, _z, lnl_x, nc, _key, moved = lax.fori_loop(
+        0, n_rep, rep, (x, z, lnl_x, zero_nc, key, moved0)
+    )
+    return x, lnl_x, nc, moved
+
+
+def _whiten(chol, du):
+    """Whitened coords of ``du`` [C, R, D] under ``chol`` [R, D, D]."""
+    b = jnp.moveaxis(du, 0, -1)                        # [R, D, C]
+    zz = jax.scipy.linalg.solve_triangular(chol, b, lower=True)
+    return jnp.moveaxis(zz, -1, 0)                     # [C, R, D]
 
 
 def _act_arrays(cfg: NSConfig, ndim: int, dtype):
@@ -386,6 +534,75 @@ def _act_arrays(cfg: NSConfig, ndim: int, dtype):
         if 0 <= int(fd) < ndim:
             act_np[int(fd)] = 0.0
     return jnp.asarray(act_np, dtype=dtype), act_np
+
+
+def _efr_mult(cfg: NSConfig, d_act: float) -> float:
+    """MultiNest's efr knob as a radius multiplier: enlarge ellipsoid
+    volumes by 1/efr (core.pyx:748-751).  Clamped at 1 so efr > 1 can
+    only be a no-op -- a sub-unity multiplier would shrink radii below
+    the point-covering maximum and truncate the constrained region
+    (the reference asserts 0 < efr <= 1 instead)."""
+    if cfg.efr > 0:
+        return max(1.0, (1.0 / cfg.efr) ** (1.0 / max(d_act, 1.0)))
+    return 1.0
+
+
+def _shrunk_cov(u, mean, live_w, n_live, act, act_np, cfg):
+    """Sample covariance of the survivors with Ledoit-Wolf-style
+    shrinkage toward the isotropic (mean-eigenvalue) target.
+
+    At D=12 with nlive=100 the raw sample covariance's eigenvalue
+    noise (~sqrt(D/n) ~ 35%) inflates the max-Mahalanobis bounding
+    radius along the over-estimated axes, costing a measured ~5-10x
+    in candidate acceptance; shrinking by lambda ~ D/n removes most
+    of that noise while keeping the real anisotropy.  Flat dims get a
+    unit diagonal so the Cholesky stays well-scaled (they carry no
+    cross terms -- ``du`` is zeroed there).
+    """
+    dtype = u.dtype
+    D = u.shape[-1]
+    du = (u - mean[:, None, :]) * live_w[..., None] * act
+    cov = jnp.einsum("rld,rle->rde", du, du) / n_live[:, None, None]
+    d_act = max(float(act_np.sum()), 1.0)
+    lam = jnp.clip(D / n_live, 0.0, 0.3)[:, None, None]    # [R, 1, 1]
+    mean_eig = (
+        jnp.sum(jnp.diagonal(cov, axis1=-2, axis2=-1) * act, axis=-1)
+        / d_act
+    )[:, None, None]
+    eye_act = jnp.diag(act.astype(dtype))
+    cov = (1.0 - lam) * cov + lam * mean_eig * eye_act
+    cov = cov + jnp.diag(
+        jnp.where(act > 0, cfg.cov_reg, 1.0).astype(dtype)
+    )
+    return cov
+
+
+def _slim_bounds(u, zombie, act, act_np, cfg: NSConfig):
+    """Global whitening + bounding radius only: ``(chol, mean, rmax)``.
+
+    The kill+slice regime consumes just the global geometry (whitened
+    directions + the analytic ellipsoid bracket), so the cluster
+    machinery of :func:`_compute_bounds` would be wasted device time
+    and compile time there.  Shape (mean/cov) comes from the
+    survivors; the radius covers the zombie shell too (the killed
+    points straddle the threshold contour -- bounding only the
+    surviving interior truncates the contour boundary and biases lnZ
+    high, verified at D=12).
+    """
+    dtype = u.dtype
+    live_w = (~zombie).astype(dtype)                       # [R, L]
+    n_live = jnp.maximum(jnp.sum(live_w, axis=1), 1.0)     # [R]
+    mean = jnp.einsum("rl,rld->rd", live_w, u) / n_live[:, None]
+    cov = _shrunk_cov(u, mean, live_w, n_live, act, act_np, cfg)
+    chol = jnp.linalg.cholesky(cov)                        # [R, D, D]
+    du_all = (u - mean[:, None, :]) * act
+    dz = jax.scipy.linalg.solve_triangular(
+        chol, jnp.swapaxes(du_all, 1, 2), lower=True
+    )                                                      # [R, D, L]
+    rmax = jnp.sqrt(jnp.max(jnp.sum(dz**2, axis=1), axis=1))
+    mult = cfg.ell_fudge * _efr_mult(cfg, float(act_np.sum()))
+    rmax = jnp.maximum(rmax, 0.1) * mult
+    return chol, mean, rmax
 
 
 def _compute_bounds(u, zombie, act, act_np, cfg: NSConfig):
@@ -399,14 +616,17 @@ def _compute_bounds(u, zombie, act, act_np, cfg: NSConfig):
     exact for any contour.  (The role of MultiNest's ``updInt``
     ellipsoid-refresh cadence, reference core.pyx:758-759.)
 
-    For ``method == "ellipsoid"`` the tuple is ``(mu_all, chol_all,
-    rmax_all, lnvol_all, act_ell, use_cube, inv_chol)`` over the
-    ellipsoid set (index 0 = single global bound, 1.. = k-means
-    clusters); for ``method == "slice"`` it is ``(chol,)`` -- the
-    whitening Cholesky only.
+    For ``method == "ellipsoid"``/``"auto"`` the tuple is ``(mu_all,
+    chol_all, rmax_all, lnvol_all, act_ell, use_cube, inv_chol)`` over
+    the ellipsoid set (index 0 = single global bound, 1.. = k-means
+    clusters); for ``method == "slice"`` it is the slim ``(chol, mean,
+    rmax)`` global tuple of :func:`_slim_bounds`.
     """
     R, L, D = u.shape
     dtype = u.dtype
+
+    if cfg.method == "slice":
+        return _slim_bounds(u, zombie, act, act_np, cfg)
 
     # global moments over the *surviving* live points only: zombie
     # slots hold already-killed points below the threshold (the
@@ -414,16 +634,8 @@ def _compute_bounds(u, zombie, act, act_np, cfg: NSConfig):
     live_w = (~zombie).astype(dtype)                       # [R, L]
     n_live = jnp.maximum(jnp.sum(live_w, axis=1), 1.0)     # [R]
     mean = jnp.einsum("rl,rld->rd", live_w, u) / n_live[:, None]
-    du = (u - mean[:, None, :]) * live_w[..., None] * act
-    cov = jnp.einsum("rld,rle->rde", du, du) / n_live[:, None, None]
-    # flat dims: unit diagonal so the Cholesky stays well-scaled;
-    # they carry no cross terms (du is zeroed there)
-    cov = cov + jnp.diag(
-        jnp.where(act > 0, cfg.cov_reg, 1.0).astype(dtype)
-    )
+    cov = _shrunk_cov(u, mean, live_w, n_live, act, act_np, cfg)
     chol = jnp.linalg.cholesky(cov)                        # [R, D, D]
-    if cfg.method != "ellipsoid":
-        return (chol,)
 
     # --- multi-ellipsoid bound: cluster the surviving live points,
     # fit one bounding ellipsoid per cluster -- the vectorizable
@@ -486,11 +698,7 @@ def _compute_bounds(u, zombie, act, act_np, cfg: NSConfig):
     )                                                   # [R,KC,D,L]
     rmax_k = jnp.sqrt(jnp.max(jnp.sum(dz_k**2, axis=2), axis=-1))
     d_act = float(act_np.sum())
-    # MultiNest's efr knob: enlarge ellipsoid volumes by 1/efr
-    # (core.pyx:748-751); radius multiplier (1/efr)^(1/d)
-    efr_mult = (
-        (1.0 / cfg.efr) ** (1.0 / max(d_act, 1.0)) if cfg.efr > 0 else 1.0
-    )
+    efr_mult = _efr_mult(cfg, d_act)
     rmax_k = jnp.maximum(rmax_k, 0.1) * (cfg.ell_fudge * efr_mult)
 
     # global single ellipsoid.  Shape (mean/cov) comes from the
@@ -557,11 +765,18 @@ def _compute_bounds(u, zombie, act, act_np, cfg: NSConfig):
             inv_chol)
 
 
-def _global_chol(bounds, cfg: NSConfig):
+def _global_ell(bounds):
+    """Global ``(chol, mean, rmax)`` from either bounds tuple (the
+    7-tuple full geometry or the slim 3-tuple)."""
+    if len(bounds) == 7:
+        mu_all, chol_all, rmax_all = bounds[0], bounds[1], bounds[2]
+        return chol_all[:, 0], mu_all[:, 0], rmax_all[:, 0]
+    return bounds
+
+
+def _global_chol(bounds, cfg: NSConfig = None):
     """Whitening Cholesky of the global bound from a bounds tuple."""
-    if cfg.method == "ellipsoid":
-        return bounds[1][:, 0]
-    return bounds[0]
+    return _global_ell(bounds)[0]
 
 
 def ns_init(key, loglike2, data, ndim: int, n_runs: int, cfg: NSConfig,
@@ -571,17 +786,18 @@ def ns_init(key, loglike2, data, ndim: int, n_runs: int, cfg: NSConfig,
     R, L, D = n_runs, cfg.nlive, ndim
     key, k_init = random.split(key)
     u0 = random.uniform(k_init, (L, R, D), dtype=dtype)
-    # evaluate the L x R initial points in bounded equal chunks
-    # (static Python loop -- lax.map(batch_size=...) compiles
-    # pathologically slowly on some TPU backends); loglike2 broadcasts
-    # over the extra leading chunk axis
+    # evaluate the L x R initial points in bounded equal chunks via a
+    # scan (lax.map): ONE likelihood trace regardless of chunk count
+    # -- the old unrolled Python loop traced the model L/init_chunk
+    # times, a measurable share of the init program's compile time.
+    # (lax.map's batch_size= path is avoided: it compiles
+    # pathologically slowly on some TPU backends.)
     c = max(1, min(cfg.init_chunk, L))
-    while L % c:
-        c -= 1
-    chunks = [
-        loglike2(u0[lo:lo + c], data) for lo in range(0, L, c)
-    ]
-    lnl0 = jnp.concatenate(chunks, axis=0)                    # [L, R]
+    n_pad = (-L) % c
+    u_ev = jnp.concatenate([u0, u0[:n_pad]], axis=0) if n_pad else u0
+    lnl0 = lax.map(
+        lambda uc: loglike2(uc, data), u_ev.reshape(-1, c, R, D)
+    ).reshape(-1, R)[:L]                                      # [L, R]
     u0 = jnp.transpose(u0, (1, 0, 2))
     lnl0 = jnp.transpose(lnl0)
     shift = jnp.max(lnl0, axis=1)
@@ -736,7 +952,7 @@ def _segment_core(state: _State, loglike2, data, cfg: NSConfig,
         # zombie slots first (stable sort on ~zombie: False < True)
         zorder = jnp.argsort(~zombie, axis=1, stable=True)     # [R, L]
 
-        if cfg.method == "ellipsoid":
+        if cfg.method != "slice":
             # sample candidates from the cached ellipsoid union
             # (volume-proportional cluster choice + 1/n_overlap
             # thinning keeps the proposal uniform over the union)
@@ -815,32 +1031,23 @@ def _segment_core(state: _State, loglike2, data, cfg: NSConfig,
             sel = jnp.take_along_axis(
                 zorder, (L - 1 - (jsel % nz_cnt))[:, None], axis=1
             )[:, 0]
-            x0 = s.u[rr, sel]
-            lnl0 = jnp.take_along_axis(s.lnl, sel[:, None], axis=1)[:, 0]
+            x0 = s.u[rr, sel][None]                             # [1, R, D]
+            lnl0 = jnp.take_along_axis(
+                s.lnl, sel[:, None], axis=1
+            )[:, 0][None]                                       # [1, R]
 
-            chol_g = _global_chol(bounds, cfg)
-
-            def repeat_body(j, carry):
-                x, lnl_x, ncall, key = carry
-                key, kd, ks = random.split(key, 3)
-                nvec = random.normal(kd, (R, D), dtype=dtype)
-                dirv = jnp.einsum("rde,re->rd", chol_g, nvec) * act
-                step = _shrink_step(
-                    loglike2, data, shift, x, lnl_x, dirv, thresh,
-                    ~active, cfg,
-                )
-                xn, lnln, acc, nc = step(ks)
-                x = jnp.where((active & acc)[:, None], xn, x)
-                lnl_x = jnp.where(active & acc, lnln, lnl_x)
-                return x, lnl_x, ncall + nc, key
-
-            zero_nc = jnp.zeros((R,), dtype=jnp.int32)
-            x, lnl_x, nc, _ = lax.fori_loop(
-                0, cfg.n_repeats, repeat_body, (x0, lnl0, zero_nc, k_dir)
+            chol_g, mu_g, rmax_g = _global_ell(bounds)
+            z0 = _whiten(chol_g, (x0 - mu_g[None]) * act)
+            x, lnl_x, nc, moved = _slice_chains(
+                k_dir, loglike2, data, shift, x0, z0, lnl0,
+                thresh[None, :], (~active)[None, :],
+                chol_g, rmax_g, act, cfg.n_repeats, cfg,
+                u_all=s.u, order=jnp.flip(zorder, axis=1),
+                n_surv=nz_cnt,
             )
-            cand = x[None]                                      # [1, R, D]
-            cand_lnl = lnl_x[None]
-            okc = (cand_lnl > thresh) & active[None, :]
+            cand = x                                            # [1, R, D]
+            cand_lnl = lnl_x
+            okc = moved & (cand_lnl > thresh) & active[None, :]
             n_eval = 0  # counted inside the shrink steps
             s = dataclasses.replace(s, ncall=s.ncall + nc)
 
@@ -865,12 +1072,13 @@ def _segment_core(state: _State, loglike2, data, cfg: NSConfig,
             active & (n_take == 0) & (pending > 0), s.stall + 1, 0
         )
 
-        # candidate-acceptance EMA (drives the ns_segment mode switch;
-        # only the ellipsoid method produces a meaningful signal).
-        # Measure threshold-passing proposals (okc), NOT slot fills:
-        # fills are capped by `pending`, which would drag the EMA down
-        # on slot-starved iterations where candidates are fine.
-        if cfg.method == "ellipsoid":
+        # candidate-acceptance EMA (drives the host-side auto regime
+        # switch; only candidate proposals produce a meaningful
+        # signal).  Measure threshold-passing proposals (okc), NOT
+        # slot fills: fills are capped by `pending`, which would drag
+        # the EMA down on slot-starved iterations where candidates are
+        # fine.
+        if cfg.method != "slice":
             n_act = jnp.sum(active.astype(dtype))
             acc = jnp.sum(
                 (okc & active[None, :]).astype(dtype)
@@ -911,35 +1119,48 @@ def _segment_core(state: _State, loglike2, data, cfg: NSConfig,
     return lax.while_loop(cond, body, state)
 
 
-def _killslice_block(state: _State, loglike2, data, cfg: NSConfig,
+def ns_segment_slice(state: _State, loglike2, data, cfg: NSConfig,
                      seg_end) -> _State:
-    """Advance runs with kill + slice-fill iterations (no ellipsoid
-    candidates).
+    """Advance runs with kill + multi-chain slice iterations until
+    ``i >= seg_end`` or every run is done.
 
     The PolyChord-style regime for contours no ellipsoid union bounds
     tightly: every iteration opens ``kill_k`` slots per run and fills
-    them with one batched multi-chain slice pass -- measured ~3x
-    faster per death than candidate blocks once candidate acceptance
-    collapses below ~13% (mid-run hyperfine posteriors sit at ~0.2%).
-    ``acc_ema`` is bumped by ``cand_recheck`` each iteration so
-    ``ns_segment`` periodically re-auditions the candidate mode.
+    them with one batched multi-chain whitened slice pass -- measured
+    ~3x faster per death than candidate blocks once candidate
+    acceptance collapses below ~13% (mid-run hyperfine posteriors sit
+    at ~0.2%).  In segmented "auto" mode the host switches to this
+    program one-way when the candidate-acceptance EMA drops below
+    ``cand_min_acc``; it is also the segmented engine for
+    ``method == "slice"``.
+
+    Deliberately slim: only the global whitening Cholesky + bounding
+    radius are computed (no k-means / cluster Cholesky factors -- the
+    regime never consumes them), and the slice kernel traces the
+    likelihood exactly once, so this -- the program that runs for the
+    bulk of every fit -- compiles several times faster than the full
+    candidate program.
     """
     R, L, D = state.u.shape
     cfg = cfg.resolved(D)
     dtype = state.u.dtype
+    C = cfg.kill_k
     max_iter = cfg.max_iter
-    lnx_tab_np, lnw_tab_np = _weight_tables(L, cfg.kill_k, max_iter)
+    lnx_tab_np, lnw_tab_np = _weight_tables(L, C, max_iter)
     lnx_tab = jnp.asarray(lnx_tab_np, dtype=dtype)
     lnw_tab = jnp.asarray(lnw_tab_np, dtype=dtype)
     rr = jnp.arange(R)
+    rrc = jnp.broadcast_to(rr[None, :], (C, R))
     seg_end = jnp.asarray(seg_end, jnp.int32)
+    act, act_np = _act_arrays(cfg, D, dtype)
+    n_rep = (cfg.n_repeats if cfg.method == "slice"
+             else cfg.fallback_repeats)
 
     def cond(s: _State):
         return (~jnp.all(s.done)) & (s.i < seg_end)
 
-    act, act_np = _act_arrays(cfg, D, dtype)
-
     def body(s: _State):
+        shift = s.lnl_shift
         (dead_u, dead_lnl, lnz, n_deaths, pending, zombie,
          thresh) = _kill_record(s, cfg, lnw_tab, rr)
         # refresh the whitening geometry EVERY iteration here: one
@@ -948,28 +1169,75 @@ def _killslice_block(state: _State, loglike2, data, cfg: NSConfig,
         # regime's bound_every cadence would leave the slice brackets
         # whitened by a covariance ~e^2 too wide after 4 cycles, which
         # degrades chain mixing enough to bias lnZ (observed at D=12)
-        bounds = _compute_bounds(s.u, zombie, act, act_np, cfg)
-        s2 = dataclasses.replace(
-            s, lnz=lnz, n_deaths=n_deaths, pending=pending, thresh=thresh,
-            zombie=zombie, dead_u=dead_u, dead_lnl=dead_lnl, bounds=bounds,
-            acc_ema=s.acc_ema + jnp.asarray(cfg.cand_recheck, dtype),
+        chol, mu, rmax = _slim_bounds(s.u, zombie, act, act_np, cfg)
+        need = (~s.done) & (pending > 0)
+
+        key, k1, k2 = random.split(s.key, 3)
+        # ONE randomized sort serves both chain starts and fill slots:
+        # ascending rscore lists the survivors in random order first
+        # (columns 0..C-1 = DISTINCT random survivors -- sampling with
+        # replacement would insert correlated near-duplicates and bias
+        # lnZ high, measured +0.8 nats at D=12) and the zombie slots
+        # last (column L-r = the r-th fill slot).
+        rscore = random.uniform(k1, (R, L), dtype=dtype) + zombie.astype(
+            dtype
+        ) * 2.0
+        order = jnp.argsort(rscore, axis=1)                  # [R, L]
+        sel = jnp.swapaxes(order[:, :C], 0, 1)               # [C, R]
+        x = s.u[rrc, sel]                                    # [C, R, D]
+        lnl_x = s.lnl[rrc, sel]                              # [C, R]
+        z = _whiten(chol, (x - mu[None]) * act)
+        thr_b = jnp.broadcast_to(thresh[None, :], (C, R))
+        dead_b = jnp.broadcast_to((~need)[None, :], (C, R))
+        x, lnl_x, nc, moved = _slice_chains(
+            k2, loglike2, data, shift, x, z, lnl_x, thr_b, dead_b,
+            chol, rmax, act, n_rep, cfg,
+            u_all=s.u, order=order, n_surv=L - pending,
         )
-        s2 = ns_slice_fill(s2, loglike2, data, cfg)
-        # ns_slice_fill zeroes stall on insert but never increments;
-        # count zero-progress iterations here so stuck runs terminate
-        no_prog = (~s2.done) & (s2.pending > 0) & (s2.pending >= pending)
-        s2 = dataclasses.replace(
-            s2, stall=jnp.where(no_prog, s2.stall + 1, s2.stall)
+
+        # insert moved chain endpoints into the pending zombie slots
+        okf = moved & need[None, :]
+        rankf = jnp.cumsum(okf, axis=0, dtype=jnp.int32)     # [C, R]
+        usef = okf & (rankf <= pending[None, :])
+        pos = jnp.clip(L - rankf, 0, L - 1)
+        slotf = jnp.swapaxes(
+            jnp.take_along_axis(order, jnp.swapaxes(pos, 0, 1), axis=1),
+            0, 1,
+        )                                                    # [C, R]
+        slotf_w = jnp.where(usef, slotf, L)
+        u_new = s.u.at[rrc, slotf_w].set(x, mode="drop")
+        lnl_new = s.lnl.at[rrc, slotf_w].set(lnl_x, mode="drop")
+        zombie = zombie.at[rrc, slotf_w].set(False, mode="drop")
+        n_ins = jnp.sum(usef, axis=0, dtype=jnp.int32)
+        pending = pending - n_ins
+        stall = jnp.where(
+            need & (n_ins == 0) & (pending > 0), s.stall + 1,
+            jnp.where(n_ins > 0, 0, s.stall),
         )
+
         newly_done, newly_conv = _check_termination(
-            cfg, lnx_tab, s2.done, s2.zombie, s2.lnl, s2.lnz,
-            s2.n_deaths, dtype, stall=s2.stall,
+            cfg, lnx_tab, s.done, zombie, lnl_new, lnz, n_deaths, dtype,
+            stall=stall,
         )
-        return dataclasses.replace(
-            s2,
-            done=s2.done | newly_done,
-            converged=s2.converged | newly_conv,
-            i=s2.i + 1,
+        return _State(
+            key=key,
+            u=u_new,
+            lnl=lnl_new,
+            lnl_shift=shift,
+            lnz=lnz,
+            done=s.done | newly_done,
+            converged=s.converged | newly_conv,
+            n_deaths=n_deaths,
+            pending=pending,
+            thresh=thresh,
+            zombie=zombie,
+            stall=stall,
+            ncall=s.ncall + nc,
+            dead_u=dead_u,
+            dead_lnl=dead_lnl,
+            i=s.i + 1,
+            bounds=(chol, mu, rmax),
+            acc_ema=s.acc_ema,
         )
 
     return lax.while_loop(cond, body, state)
@@ -987,91 +1255,66 @@ def ns_slice_fill(state: _State, loglike2, data, cfg: NSConfig) -> _State:
     PolyChord regime).  Unconditional and masked: when nothing is
     pending the internal loops exit without a single likelihood
     evaluation, so ``ns_segment`` can interleave it freely.
+
+    Chain starts are DISTINCT random survivors -- already valid draws
+    from the constrained region.  Chain endpoints stay correlated with
+    their starts at finite repeats, which biases lnZ high by
+    ~5.3/repeats nats at D=12 when EVERY insert is a slice fill
+    (measured on the analytic Gaussian; pinned by the
+    test_slice_fill_bias tests).  The default ndim//2 repeats put the
+    worst-case systematic at ~1 nat -- MultiNest-class (ellipsoidal
+    rejection at efr=0.3 carries comparable error) and far inside the
+    11-nat model-selection gates the application uses -- and the
+    candidate phase's independent inserts dilute it well below that in
+    practice; raise ``fallback_repeats`` further for precision
+    evidence work (see docs/limitations.md for the measured curve).
     """
     R, L, D = state.u.shape
     cfg = cfg.resolved(D)
     dtype = state.u.dtype
     C = cfg.kill_k
     rr = jnp.arange(R)
-    act_np = np.ones(D, dtype=np.float64)
-    for fd in cfg.flat_dims:
-        if 0 <= int(fd) < D:
-            act_np[int(fd)] = 0.0
-    act = jnp.asarray(act_np, dtype=dtype)
-    # chains start at random *survivors* -- already valid draws from
-    # the constrained region.  Chain endpoints stay correlated with
-    # their starts at shallow repeats, which biases lnZ high by up to
-    # ~+0.5 nats at D=12 in fully slice-dominated regimes (measured on
-    # the analytic Gaussian; unbiased at D/2 repeats).  The default
-    # keeps 2 repeats: the candidate phase supplies independent draws
-    # where ellipsoids fit, the residual bias is MultiNest-class
-    # (ellipsoidal rejection at efr=0.3 carries comparable systematic
-    # error) and far inside the 11-nat model-selection gates the
-    # application uses; raise ``fallback_repeats`` to ndim//2 for
-    # precision evidence work.
-    n_fall = cfg.fallback_repeats or 2
+    act, act_np = _act_arrays(cfg, D, dtype)
+    n_fall = cfg.fallback_repeats
 
     s = state
     need = (~s.done) & (s.pending > 0)
-    shift = s.lnl_shift
-    zombie = s.zombie
     pending = s.pending
+    zombie = s.zombie
 
-    # whitened directions from the cached bounding geometry (slice
-    # correctness does not depend on the whitening quality -- only the
-    # mixing rate does, so reusing the bounded-staleness Cholesky is
-    # free performance)
-    chol = _global_chol(s.bounds, cfg)
+    # global geometry from the cached bounds (slice correctness does
+    # not depend on the whitening quality -- only the mixing rate
+    # does, so reusing the bounded-staleness Cholesky is free
+    # performance)
+    chol, mu, rmax = _global_ell(s.bounds)
 
-    zord = jnp.argsort(~zombie, axis=1, stable=True)
     key, k1, k2 = random.split(s.key, 3)
-    # chain starts: DISTINCT random survivors per run.  Sampling with
-    # replacement lets several chains start at the same survivor and
-    # insert correlated near-duplicates, which breaks the
-    # order-statistics compression model and biases lnZ high
-    # (measured +0.8 nats at D=12 when slice fills dominate).  A
-    # randomized sort pushing zombies last makes the first C columns
-    # distinct random survivors; survivors >= L - kill_k >= C always
-    # (kill_k is capped at nlive // 2).
+    # one randomized sort: random survivors first, zombies last (see
+    # ns_segment_slice)
     rscore = random.uniform(k1, (R, L), dtype=dtype) + zombie.astype(
         dtype
     ) * 2.0
-    sel = jnp.swapaxes(jnp.argsort(rscore, axis=1)[:, :C], 0, 1)  # [C, R]
+    order = jnp.argsort(rscore, axis=1)                      # [R, L]
+    sel = jnp.swapaxes(order[:, :C], 0, 1)                   # [C, R]
     rrc = jnp.broadcast_to(rr[None, :], (C, R))
     x = s.u[rrc, sel]                                        # [C, R, D]
     lnl_x = s.lnl[rrc, sel]                                  # [C, R]
+    z = _whiten(chol, (x - mu[None]) * act)
     thr_b = jnp.broadcast_to(s.thresh[None, :], (C, R))
     dead_b = jnp.broadcast_to((~need)[None, :], (C, R))
-
-    def rep(j, carry):
-        x, lnl_x, ncall, key, moved = carry
-        key, kd, ks = random.split(key, 3)
-        nvec = random.normal(kd, (C, R, D), dtype=dtype)
-        dirv = jnp.einsum("rde,cre->crd", chol, nvec) * act
-        step = _shrink_step(
-            loglike2, data, shift, x, lnl_x, dirv, thr_b, dead_b, cfg,
-        )
-        xn, lnln, acc, nc = step(ks)
-        upd = (~dead_b) & acc
-        x = jnp.where(upd[..., None], xn, x)
-        lnl_x = jnp.where(upd, lnln, lnl_x)
-        return (x, lnl_x, ncall + jnp.sum(nc, axis=0, dtype=jnp.int32),
-                key, moved | upd)
-
-    moved0 = jnp.zeros((C, R), dtype=bool)
-    zero_nc = jnp.zeros((R,), dtype=jnp.int32)
-    x, lnl_x, nc, _, moved = lax.fori_loop(
-        0, n_fall, rep, (x, lnl_x, zero_nc, k2, moved0)
+    x, lnl_x, nc, moved = _slice_chains(
+        k2, loglike2, data, s.lnl_shift, x, z, lnl_x, thr_b, dead_b,
+        chol, rmax, act, n_fall, cfg,
+        u_all=s.u, order=order, n_surv=L - pending,
     )
 
     # insert moved chain endpoints into pending zombie slots
     okf = moved & need[None, :]
     rankf = jnp.cumsum(okf, axis=0, dtype=jnp.int32)
     usef = okf & (rankf <= pending[None, :])
+    pos = jnp.clip(L - rankf, 0, L - 1)
     slotf = jnp.swapaxes(
-        jnp.take_along_axis(
-            zord, jnp.swapaxes(jnp.clip(rankf - 1, 0, L - 1), 0, 1), axis=1
-        ), 0, 1,
+        jnp.take_along_axis(order, jnp.swapaxes(pos, 0, 1), axis=1), 0, 1,
     )                                                        # [C, R]
     slotf_w = jnp.where(usef, slotf, L)
     u_new = s.u.at[rrc, slotf_w].set(x, mode="drop")
@@ -1088,47 +1331,30 @@ def ns_slice_fill(state: _State, loglike2, data, cfg: NSConfig) -> _State:
 
 def ns_segment(state: _State, loglike2, data, cfg: NSConfig,
                seg_end) -> _State:
-    """Advance all runs until ``i >= seg_end`` or every run is done.
+    """Advance all runs until ``i >= seg_end`` or every run is done:
+    blocks of ``block_iters`` ellipsoid-candidate iterations
+    (``_segment_core``) each followed by a multi-chain slice-fill
+    rescue pass.
 
-    Adaptive two-regime execution, re-evaluated once per
-    ``block_iters`` block on the candidate-acceptance EMA:
-
-    * **candidate regime** (``acc_ema >= cand_min_acc``): blocks of
-      ellipsoid-candidate iterations (``_segment_core``) followed by a
-      multi-chain slice-fill rescue pass -- cheap while the bounding
-      union fits the contour (early compression: ~3 likelihood evals
-      per replacement).
-    * **kill+slice regime**: one batched slice pass per deletion step
-      (``_killslice_block``) -- the exact-for-any-contour engine that
-      takes over when candidate acceptance collapses (warped hyperfine
-      posteriors mid-run), measured ~3x faster per death there.
-
-    The mode switch is a scalar ``lax.cond``, so the segment remains
-    one compiled program.
+    This is the *candidate* program -- cheap while the bounding union
+    fits the contour (early compression: ~3 likelihood evals per
+    replacement).  When candidate acceptance collapses (warped
+    mid-run contours), the segmented "auto" driver in ``run_nested``
+    retires it in favour of :func:`ns_segment_slice`; in traced mode
+    the per-block slice-fill pass keeps runs progressing regardless,
+    at higher cost.
     """
     R, L, D = state.u.shape
     cfg = cfg.resolved(D)
     block = max(1, cfg.block_iters)
     seg_end = jnp.asarray(seg_end, jnp.int32)
-    # the mode switch costs a second compiled iteration body; only
-    # trace it when actually enabled
-    adaptive = cfg.method == "ellipsoid" and cfg.cand_min_acc > 0
 
     def cond(s: _State):
         return (~jnp.all(s.done)) & (s.i < seg_end)
 
     def body(s: _State):
         blk_end = jnp.minimum(s.i + block, seg_end)
-        if adaptive:
-            s = lax.cond(
-                s.acc_ema >= cfg.cand_min_acc,
-                lambda s: _segment_core(s, loglike2, data, cfg, blk_end),
-                lambda s: _killslice_block(s, loglike2, data, cfg,
-                                           blk_end),
-                s,
-            )
-        else:
-            s = _segment_core(s, loglike2, data, cfg, blk_end)
+        s = _segment_core(s, loglike2, data, cfg, blk_end)
         return ns_slice_fill(s, loglike2, data, cfg)
 
     return lax.while_loop(cond, body, state)
@@ -1214,25 +1440,36 @@ def _normalize_loglike(loglike, data):
 
 
 # jit cache for the segmented path: keyed by likelihood identity,
-# config, and input structure so repeated pixel batches reuse compiles
+# config, input structure, and program kind so repeated pixel batches
+# reuse compiles.  Programs are built lazily per kind so e.g. the
+# kill+slice program for a batch size that never leaves the candidate
+# phase is never compiled.
 _JIT_CACHE = {}
 
 
-def _get_segment_jits(loglike2, cfg, ndim, n_runs, dtype):
-    key = (id(loglike2), cfg, ndim, n_runs, jnp.dtype(dtype).name)
+def _get_jit(loglike2, cfg, ndim, n_runs, dtype, kind):
+    key = (id(loglike2), cfg, ndim, n_runs, jnp.dtype(dtype).name, kind)
     if key not in _JIT_CACHE:
-        init_j = jax.jit(
-            lambda k, data: ns_init(k, loglike2, data, ndim, n_runs, cfg,
-                                    dtype)
-        )
-        seg_j = jax.jit(
-            lambda st, data, seg_end: ns_segment(st, loglike2, data, cfg,
-                                                 seg_end)
-        )
-        fin_j = jax.jit(lambda st: ns_finalize(st, cfg))
+        if kind == "init":
+            fn = jax.jit(
+                lambda k, data: ns_init(k, loglike2, data, ndim, n_runs,
+                                        cfg, dtype)
+            )
+        elif kind == "fin":
+            fn = jax.jit(lambda st: ns_finalize(st, cfg))
+        else:
+            seg = ns_segment if kind == "cand" else ns_segment_slice
+
+            def run_seg(st, data, seg_end, _seg=seg):
+                return _seg(st, loglike2, data, cfg, seg_end)
+
+            # donate the state: the host loop never reuses an input
+            # state, and in-place buffer reuse roughly halves the
+            # segment's working set
+            fn = jax.jit(run_seg, donate_argnums=(0,))
         # keep a strong reference to loglike2 so id() stays unique
-        _JIT_CACHE[key] = (init_j, seg_j, fin_j, loglike2)
-    return _JIT_CACHE[key][:3]
+        _JIT_CACHE[key] = (fn, loglike2)
+    return _JIT_CACHE[key][0]
 
 
 def _gather_rows(tree, idx, n_rows):
@@ -1303,11 +1540,22 @@ def run_nested(
         data reuse the compiled sampler.
     segment_iters : int
         0 -> single traced computation (jittable).  >0 -> host loop of
-        bounded device segments (recommended on real hardware).
+        bounded device segments (recommended on real hardware).  In
+        segmented mode ``method="auto"`` additionally runs the
+        host-driven two-regime schedule: short candidate segments
+        (``switch_iters``) while the candidate-acceptance EMA is
+        healthy, then a one-way switch to the slim kill+slice program
+        for the remainder of the fit.  Splitting the regimes into two
+        separately compiled programs (instead of a fused lax.cond)
+        roughly halves XLA compile time of the hot path and lets each
+        regime drop the machinery it does not use.
     compact : bool
-        In segmented mode, gather unfinished runs into a smaller
-        power-of-two batch when most of the batch has finished, so
-        straggler pixels do not pay full-batch compute.
+        In segmented mode, gather unfinished runs into a
+        ``min_compact``-sized batch once the active count fits, so
+        straggler pixels do not pay full-batch compute.  A single
+        jump: each batch-size class is a fresh XLA compile of the
+        segment program (30-90 s through remote-tunneled workers),
+        so one coarse class beats a ladder of halvings.
     """
     cfg = config.resolved(ndim)
     loglike2, data = _normalize_loglike(loglike, data)
@@ -1317,20 +1565,21 @@ def run_nested(
         state = ns_segment(state, loglike2, data, cfg, cfg.max_iter)
         return ns_finalize(state, cfg)
 
-    init_j, seg_j, fin_j = _get_segment_jits(
-        loglike2, cfg, ndim, n_runs, dtype
-    )
-    state = init_j(key, data)
+    auto = cfg.method == "auto"
+    mode = "slice" if cfg.method == "slice" else "cand"
+    acc_thresh = cfg.cand_min_acc if cfg.cand_min_acc > 0 else 0.12
 
-    # Host loop with straggler compaction.  All row movement happens on
-    # device: ``acc`` is a full-size accumulator state that receives
-    # the compacted batch's rows (by original index) at every
-    # re-batching, so finished runs are never shipped to the host
-    # (remote-tunneled workers transfer at MB/s).  The host only ever
-    # fetches the [R] ``done`` mask and the loop counter.
-    acc = state                           # full-size accumulator
+    state = _get_jit(loglike2, cfg, ndim, n_runs, dtype, "init")(key, data)
+
+    # Host loop with regime switching and straggler compaction.  All
+    # row movement happens on device: ``acc`` banks the full-size
+    # state at compaction time and receives the compacted batch's rows
+    # (by original index) at the end, so finished runs are never
+    # shipped to the host (remote-tunneled workers transfer at MB/s).
+    # The host only ever fetches the [R] ``done`` mask, the loop
+    # counter, and (in auto mode) the acceptance EMA scalar.
+    acc = None                            # full-size accumulator
     orig_idx = np.arange(n_runs)          # current row -> original run
-    compacted = False
     cur_data = data
     r_cur = n_runs
     iter_cap = cfg.max_iter
@@ -1341,13 +1590,13 @@ def run_nested(
             break
         active_rows = np.flatnonzero(~done_np)
         n_active = active_rows.size
-        r_new = max(cfg.min_compact, 1 << max(0, (n_active - 1).bit_length()))
-        if compact and n_active > 0 and r_new <= r_cur // 2:
-            # bank the current rows into the accumulator, then carry
-            # on with just the active runs (padded to a power of two
-            # with copies of the first active row, marked done)
-            acc = _scatter_rows(acc, state, orig_idx, n_runs)
-            compacted = True
+        if (compact and acc is None and 0 < n_active <= cfg.min_compact
+                and cfg.min_compact < r_cur):
+            # bank the full batch, carry on with just the active runs
+            # (padded to min_compact with copies of the first active
+            # row, marked done)
+            acc = state
+            r_new = cfg.min_compact
             pad = np.full(r_new - n_active, active_rows[0], dtype=np.int64)
             sel = np.concatenate([active_rows, pad])
             state = _gather_rows(state, sel, r_cur)
@@ -1362,13 +1611,34 @@ def run_nested(
             )
             cur_data = _gather_rows(cur_data, sel, r_cur)
             r_cur = r_new
-            init_j, seg_j, fin_j = _get_segment_jits(
-                loglike2, cfg, ndim, r_cur, dtype
-            )
-        state = seg_j(state, cur_data,
-                      jnp.int32(min(i + segment_iters, iter_cap)))
+        if mode == "cand":
+            step = min(cfg.switch_iters, segment_iters) if auto \
+                else segment_iters
+            seg_j = _get_jit(loglike2, cfg, ndim, r_cur, dtype, "cand")
+            state = seg_j(state, cur_data,
+                          jnp.int32(min(i + step, iter_cap)))
+            if auto and len(state.bounds) == 7:
+                # one-way switch once the bounding union stops paying:
+                # past the cube start-up phase and candidate
+                # acceptance below the slice break-even
+                in_cube = float(np.asarray(state.bounds[5]).mean())
+                if _NS_DEBUG:
+                    print(f"ns-debug: i={int(state.i)} mode=cand "
+                          f"acc_ema={float(state.acc_ema):.4f} "
+                          f"in_cube={in_cube:.2f} "
+                          f"done={int(np.asarray(state.done).sum())}",
+                          flush=True)
+                if in_cube < 0.5 and float(state.acc_ema) < acc_thresh:
+                    b = state.bounds
+                    state = dataclasses.replace(
+                        state, bounds=(b[1][:, 0], b[0][:, 0], b[2][:, 0])
+                    )
+                    mode = "slice"
+        else:
+            seg_j = _get_jit(loglike2, cfg, ndim, r_cur, dtype, "slice")
+            state = seg_j(state, cur_data,
+                          jnp.int32(min(i + segment_iters, iter_cap)))
 
-    if compacted:
+    if acc is not None:
         state = _scatter_rows(acc, state, orig_idx, n_runs)
-        _, _, fin_j = _get_segment_jits(loglike2, cfg, ndim, n_runs, dtype)
-    return fin_j(state)
+    return _get_jit(loglike2, cfg, ndim, n_runs, dtype, "fin")(state)
