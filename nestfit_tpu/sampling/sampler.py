@@ -408,11 +408,17 @@ def _shrink_slice(loglike2, data, shift, key, x0, lnl0, dirv, t_lo0,
         x = jnp.where(newly[..., None], xp, x)
         lnl = jnp.where(newly, lnlp, lnl)
         t_acc = jnp.where(newly, t, t_acc)
+        # count only evaluations the *algorithm* consumed: once a lane
+        # has accepted, further lockstep rounds (the batch waits for
+        # its slowest lane) are SIMD padding, not likelihood calls the
+        # sequential algorithm would have made -- the reference's
+        # "~5k evals/fit" (docs/overview.rst:7-11) counts calls in
+        # that per-run sense
+        ncall = ncall + jnp.where(done | acc, 0, 1)
         acc = acc | ok
         miss = ~acc
         t_lo = jnp.where(miss & (t < 0), t, t_lo)
         t_hi = jnp.where(miss & (t >= 0), t, t_hi)
-        ncall = ncall + jnp.where(done, 0, 1)
         return j + 1, key, t_lo, t_hi, x, lnl, t_acc, acc, ncall
 
     acc0 = jnp.zeros_like(lnl_star, dtype=bool)
