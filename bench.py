@@ -10,8 +10,10 @@ nlive=100, tol=1.0 (reference: main.py:381-386) and the IRDC priors
 
 Protocol: a warmup ladder (includes all XLA compiles) followed by a
 clean timed ladder on fresh keys; the reported number is the clean
-pass whenever the budget allows (the warmup pass is an upper bound on
-a clean pass, so the check is conservative).  Alongside the headline
+pass whenever the budget allows (an in-process rerun of the same
+shapes never recompiles, so the timed pass is pure steady-state and
+is attempted whenever a small floor of budget remains).  Alongside
+the headline
 number the bench records per-rung wall/evals telemetry and enforces
 two accuracy gates so a perf "win" can never silently trade away
 correctness (VERDICT r1 items 2/4):
@@ -112,10 +114,22 @@ def main():
 
     runners = {n: make_runner(n) for n in (1, 2)}
 
-    def ladder(key, tag=""):
+    def ladder(key, tag="", reserve=None):
+        """Run both rungs; with ``reserve`` set, skip a rung whose
+        estimated cost no longer fits the budget (returns what
+        completed).  The estimate uses the walls of rungs already timed
+        in THIS ladder (steady-state, same process), never the
+        compile-polluted warmup walls."""
         k1, k2 = random.split(key)
         results, walls = {}, {}
         for n, k in ((1, k1), (2, k2)):
+            if reserve is not None:
+                est = 2.5 * max(walls.values()) if walls else 75.0
+                if remaining() - reserve < est:
+                    log(f"bench: {tag} aborted before ncomp={n} "
+                        f"(budget {remaining():.0f}s left, "
+                        f"est {est:.0f}s + reserve {reserve:.0f}s)")
+                    break
             t0 = time.perf_counter()
             r = fit_batch(k, runners[n], n_pix, cfg, segment_iters=seg)
             jax.block_until_ready(r.lnz)
@@ -134,17 +148,32 @@ def main():
     log(f"bench: warmup (incl. compile) {t_warm:.1f}s "
         f"(budget left {remaining():.0f}s)")
 
-    # clean timed pass only if the budget can hold it *and* still
-    # leave room for the CPU-baseline measurement (warmup time is an
-    # upper bound on the clean pass -- it includes compilation)
-    baseline_reserve = 200.0
-    timed_clean = remaining() - baseline_reserve > 0.9 * t_warm + 60
+    # Clean timed pass whenever the budget plausibly holds it.  The
+    # warmup wall is compile-dominated (XLA compile through remote
+    # workers varies 25-600+ s for the same program, measured), so
+    # warmup time says nothing about a clean pass: an in-process rerun
+    # of the same shapes NEVER recompiles, so the timed ladder is pure
+    # steady-state (measured ~40-90 s total at 1024 px).  Attempt it
+    # whenever a minimal floor fits and let the ladder self-abort
+    # between rungs against its own actual rung walls, falling back to
+    # the completed warmup results.
+    baseline_reserve = 180.0
+    timed_clean = remaining() - baseline_reserve > 105.0
     if timed_clean:
         t0 = time.perf_counter()
-        results, walls = ladder(random.key(seed), tag="timed")
-        elapsed = time.perf_counter() - t0
-        log(f"bench: clean timed pass {elapsed:.1f}s "
-            f"(rung1 {walls[1]:.1f}s rung2 {walls[2]:.1f}s)")
+        t_results, walls = ladder(
+            random.key(seed), tag="timed", reserve=baseline_reserve,
+        )
+        if len(t_results) == 2:
+            results = t_results
+            elapsed = time.perf_counter() - t0
+            log(f"bench: clean timed pass {elapsed:.1f}s "
+                f"(rung1 {walls[1]:.1f}s rung2 {walls[2]:.1f}s)")
+        else:
+            timed_clean = False
+            elapsed = t_warm
+            log("bench: timed pass aborted on budget; "
+                "reporting warmup timing (includes compile)")
     else:
         log("bench: budget too tight for a clean pass; "
             "reporting warmup timing (includes compile)")

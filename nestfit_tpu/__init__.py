@@ -66,8 +66,10 @@ from nestfit_tpu.sampling import (
     QUANTILES,
     NSConfig,
     NSResult,
+    ModeProducts,
     PosteriorProducts,
     information_criteria,
+    posterior_modes,
     posterior_products,
     run_nested,
 )

@@ -14,7 +14,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax import random
+from jax import lax, random
 
 from nestfit_tpu.sampling.sampler import NSResult, _NEG
 
@@ -177,6 +177,191 @@ def posterior_products(
         map_params=map_params,
         mean_params=mean,
         std_params=jnp.sqrt(var),
+    )
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "n_modes", "mode_lnz", "mode_mean", "mode_sigma", "mode_map",
+        "mode_frac", "membership",
+    ],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class ModeProducts:
+    """Per-mode posterior decomposition (the TPU-native analogue of
+    MultiNest's ``mmodal`` mode separation, reference core.pyx:746-747
+    and the multinest README's per-mode statistics).
+
+    Modes are found on the weighted posterior sample set (unit-cube
+    coordinates, per-dimension standardized): farthest-point seeding +
+    weighted k-means into ``max_modes`` clusters, then single-linkage
+    merging of clusters whose centroid separation is within
+    ``merge_fact`` times the sum of their radii, so a unimodal
+    posterior reports one mode no matter how many k-means pieces it
+    was cut into.  Empty mode slots carry ``mode_lnz = -inf`` and zero
+    statistics.
+
+    ``mode_lnz`` are *local* evidences: ``logsumexp`` of the member
+    samples' posterior mass plus the global ``lnz``, so
+    ``logsumexp(mode_lnz, axis=-1) == lnz`` up to masked slots.
+    """
+
+    n_modes: jax.Array     # [R] number of distinct modes found
+    mode_lnz: jax.Array    # [R, K] local ln evidence per mode slot
+    mode_mean: jax.Array   # [R, K, D] posterior mean (physical theta)
+    mode_sigma: jax.Array  # [R, K, D] posterior std (physical theta)
+    mode_map: jax.Array    # [R, K, D] max-posterior-mass member
+    mode_frac: jax.Array   # [R, K] posterior mass fraction per mode
+    membership: jax.Array  # [R, N] mode slot id per sample (-1 masked)
+
+
+def _modes_single(u, theta, lnp, lnz, max_modes, n_iter, merge_fact):
+    """Mode separation for ONE run (vmapped over R by caller).
+
+    u : [N, D] unit-cube samples; theta : [N, D] physical samples;
+    lnp : [N] normalized ln posterior mass (masked entries ~ -1e30).
+    """
+    N, D = u.shape
+    K = max_modes
+    dtype = u.dtype
+    w = jnp.exp(lnp)                                   # [N], sums to 1
+    live = lnp > _NEG / 2
+    # standardize: distances in units of the global posterior std
+    mean = jnp.sum(w[:, None] * u, axis=0)
+    std = jnp.sqrt(
+        jnp.sum(w[:, None] * (u - mean) ** 2, axis=0)
+    )
+    x = (u - mean) / jnp.maximum(std, 1e-6)            # [N, D]
+    x = jnp.where(live[:, None], x, 1e6)               # park masked rows
+
+    # farthest-point seeding from the MAP sample (deterministic)
+    seed0 = x[jnp.argmax(lnp)]
+    seeds0 = jnp.tile(seed0[None], (K, 1))
+
+    def seed_step(k, seeds):
+        d2 = jnp.min(
+            jnp.sum((x[:, None, :] - seeds[None]) ** 2, axis=-1), axis=1
+        )
+        # only meaningfully-weighted samples can seed a mode: stray
+        # low-mass outliers would otherwise claim slots
+        score = jnp.where(w > 1e-4 / N * jnp.sum(live), d2, -1.0)
+        return seeds.at[k].set(x[jnp.argmax(score)])
+
+    seeds = lax.fori_loop(1, K, seed_step, seeds0)
+
+    def km_step(_, carry):
+        cent, _assign = carry
+        d2 = jnp.sum((x[:, None, :] - cent[None]) ** 2, axis=-1)  # [N,K]
+        assign = jnp.argmin(d2, axis=1).astype(jnp.int32)         # [N]
+        onehot = (assign[:, None] == jnp.arange(K)[None]) & live[:, None]
+        wk = jnp.sum(w[:, None] * onehot, axis=0)                 # [K]
+        new = jnp.einsum("n,nk,nd->kd", w, onehot.astype(dtype), x)
+        new = new / jnp.maximum(wk, 1e-30)[:, None]
+        cent = jnp.where((wk > 0)[:, None], new, cent)
+        return cent, assign
+
+    cent, assign = lax.fori_loop(
+        0, n_iter, km_step, (seeds, jnp.zeros((N,), jnp.int32))
+    )
+    d2 = jnp.sum((x[:, None, :] - cent[None]) ** 2, axis=-1)
+    assign = jnp.argmin(d2, axis=1).astype(jnp.int32)
+    onehot = (assign[:, None] == jnp.arange(K)[None]) & live[:, None]
+    wk = jnp.sum(w[:, None] * onehot, axis=0)                     # [K]
+    # cluster radius: rms standardized distance of members to centroid
+    d2_own = jnp.take_along_axis(d2, assign[:, None], axis=1)[:, 0]
+    r2 = jnp.sum(
+        w[:, None] * onehot * d2_own[:, None], axis=0
+    ) / jnp.maximum(wk, 1e-30)
+    rad = jnp.sqrt(r2)                                            # [K]
+
+    # single-linkage merge: clusters closer than merge_fact * (r_i +
+    # r_j) belong to one mode; transitive closure via K boolean steps
+    cdist = jnp.sqrt(
+        jnp.sum((cent[:, None, :] - cent[None]) ** 2, axis=-1)
+    )
+    nonempty = wk > 1e-12
+    link = (
+        cdist <= merge_fact * (rad[:, None] + rad[None, :])
+    ) & nonempty[:, None] & nonempty[None, :]
+    link = link | jnp.eye(K, dtype=bool)
+
+    def closure(_, m):
+        mi = m.astype(jnp.int32)
+        return ((mi @ mi) > 0) | m
+
+    link = lax.fori_loop(0, int(np.ceil(np.log2(max(K, 2)))) + 1,
+                         closure, link)
+    # component label = smallest linked cluster index
+    comp = jnp.min(
+        jnp.where(link, jnp.arange(K)[None, :], K), axis=1
+    )                                                             # [K]
+    comp = jnp.where(nonempty, comp, K)
+    mode_of_sample = jnp.where(live, comp[assign], K)
+
+    # per-mode statistics over the K slots (slot k = component label k;
+    # slots that are not a component root stay empty)
+    slot_hot = (
+        mode_of_sample[:, None] == jnp.arange(K)[None]
+    )                                                             # [N,K]
+    frac = jnp.sum(w[:, None] * slot_hot, axis=0)                 # [K]
+    used = frac > 1e-12
+    lnp_k = jnp.where(slot_hot, lnp[:, None], _NEG)               # [N,K]
+    mode_lnz = jax.scipy.special.logsumexp(lnp_k, axis=0) + lnz
+    mode_lnz = jnp.where(used, mode_lnz, -jnp.inf)
+    wh = w[:, None] * slot_hot / jnp.maximum(frac, 1e-30)[None, :]
+    m_mean = jnp.einsum("nk,nd->kd", wh, theta)
+    m_var = jnp.einsum(
+        "nk,nkd->kd", wh, (theta[:, None, :] - m_mean[None]) ** 2
+    )
+    map_ix = jnp.argmax(lnp_k, axis=0)                            # [K]
+    m_map = theta[map_ix]
+    zero = jnp.zeros_like(m_mean)
+    return (
+        jnp.sum(used.astype(jnp.int32)),
+        mode_lnz,
+        jnp.where(used[:, None], m_mean, zero),
+        jnp.where(used[:, None], jnp.sqrt(m_var), zero),
+        jnp.where(used[:, None], m_map, zero),
+        jnp.where(used, frac, 0.0),
+        jnp.where(live, mode_of_sample, -1).astype(jnp.int32),
+    )
+
+
+def posterior_modes(
+    result: NSResult,
+    transform,
+    max_modes: int = 6,
+    n_iter: int = 12,
+    merge_fact: float = 2.0,
+) -> ModeProducts:
+    """Decompose each run's posterior into isolated modes and report
+    per-mode local evidences and statistics.
+
+    The capability analogue of running MultiNest with ``mmodal=True``
+    (reference core.pyx:727-776 knob set; the reference persists only
+    the global lnZ, so this is additional capability, not a store
+    requirement).  Batched over runs and jittable; cost is one
+    O(N * K) pass over the weighted samples, off the sampling hot
+    path.
+    """
+    u_all = jnp.concatenate([result.dead_u, result.live_u], axis=1)
+    lnl_all = jnp.concatenate([result.dead_lnl, result.live_lnl], axis=1)
+    lnw_all = jnp.concatenate([result.dead_lnw, result.live_lnw], axis=1)
+    lnp = jnp.where(lnl_all > _NEG / 2, lnw_all + lnl_all, _NEG)
+    lnp = lnp - jax.scipy.special.logsumexp(lnp, axis=1, keepdims=True)
+    theta_all = _chunked_transform(transform, u_all)
+
+    out = jax.vmap(
+        lambda u, th, lp, lz: _modes_single(
+            u, th, lp, lz, max_modes, n_iter, merge_fact
+        )
+    )(u_all, theta_all, lnp, result.lnz)
+    return ModeProducts(
+        n_modes=out[0], mode_lnz=out[1], mode_mean=out[2],
+        mode_sigma=out[3], mode_map=out[4], mode_frac=out[5],
+        membership=out[6],
     )
 
 

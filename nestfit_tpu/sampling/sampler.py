@@ -120,6 +120,17 @@ class NSConfig:
     #                               (e.g. ConstantPrior rows): excluded
     #                               from the bounding geometry, sampled
     #                               uniformly
+    pwrap_dims: tuple = ()        # periodic unit-cube dims (MultiNest
+    #                               pWrap, reference core.pyx:761-763):
+    #                               slice chains walk the universal
+    #                               cover (no cube walls) and wrap at
+    #                               likelihood eval / live-set insert;
+    #                               candidate draws wrap into the cube
+    #                               with minimal-image overlap tests.
+    #                               The bounding covariance itself is
+    #                               NOT circular, so mass split across
+    #                               the seam costs proposal efficiency,
+    #                               never correctness (as in MultiNest)
     block_iters: int = 8          # candidate iterations between
     #                               slice-fill passes
     cand_min_acc: float = 0.05    # candidate-acceptance EMA below which
@@ -334,7 +345,46 @@ class NSResult:
         return self.n_dead + self.nlive
 
 
-def _line_bracket(x, dirv, z, nvec, rmax):
+def _wrap_vec(cfg: NSConfig, ndim: int):
+    """[D] bool mask of periodic dims, or None when ``cfg.pwrap_dims``
+    is empty (so the default path stays branch-free)."""
+    if not cfg.pwrap_dims:
+        return None
+    m = np.zeros((ndim,), dtype=bool)
+    m[np.asarray(cfg.pwrap_dims, dtype=np.int64)] = True
+    return jnp.asarray(m)
+
+
+def _wrap_pts(x, wrap):
+    """Wrap periodic dims of cube points into [0, 1)."""
+    if wrap is None:
+        return x
+    return jnp.where(wrap, x - jnp.floor(x), x)
+
+
+def _recenter(u, wrap):
+    """Express periodic dims of the live matrix ``u`` [R, L, D] in
+    universal-cover coordinates around the per-run circular mean.
+
+    Seam-split clouds (mass near both 0 and 1) become a single compact
+    cloud in these coordinates, so the bounding covariance, whitening
+    Cholesky, and ellipsoid-candidate draws all see the minimal image
+    -- the analogue of MultiNest's pWrap handling (reference
+    core.pyx:761-763).  Non-periodic dims pass through unchanged.
+    """
+    if wrap is None:
+        return u
+    two_pi = 2.0 * np.pi
+    ang = u * two_pi
+    theta = jnp.arctan2(
+        jnp.mean(jnp.sin(ang), axis=1), jnp.mean(jnp.cos(ang), axis=1)
+    ) / two_pi                                           # [R, D]
+    d = u - theta[:, None, :]
+    d = d - jnp.round(d)                                 # [-0.5, 0.5)
+    return jnp.where(wrap, theta[:, None, :] + d, u)
+
+
+def _line_bracket(x, dirv, z, nvec, rmax, wrap=None):
     """Analytic slice bracket: the t-interval of the line ``x + t *
     dirv`` inside both the global bounding ellipsoid (whitened coords
     ``z + t * nvec``, radius ``rmax``) and the unit cube.
@@ -370,13 +420,18 @@ def _line_bracket(x, dirv, z, nvec, rmax):
                        jnp.where(neg, (0.0 - x) / safe, big))
     t_lo_d = jnp.where(neg, (1.0 - x) / safe,
                        jnp.where(pos, (0.0 - x) / safe, -big))
+    if wrap is not None:
+        # periodic dims have no cube walls: the chain walks the
+        # universal cover and wraps at evaluation
+        t_hi_d = jnp.where(wrap, big, t_hi_d)
+        t_lo_d = jnp.where(wrap, -big, t_lo_d)
     t_lo = jnp.maximum(te_lo, jnp.max(t_lo_d, axis=-1))
     t_hi = jnp.minimum(te_hi, jnp.min(t_hi_d, axis=-1))
     return jnp.minimum(t_lo, 0.0), jnp.maximum(t_hi, 0.0)
 
 
 def _shrink_slice(loglike2, data, shift, key, x0, lnl0, dirv, t_lo0,
-                  t_hi0, lnl_star, done, cfg):
+                  t_hi0, lnl_star, done, cfg, wrap=None):
     """Shrinkage-only slice step from an analytic bracket.
 
     One likelihood trace (the compile-time hot spot: the old
@@ -385,7 +440,10 @@ def _shrink_slice(loglike2, data, shift, key, x0, lnl0, dirv, t_lo0,
     lnl_star); arbitrary leading batch dims.  Returns ``(x, lnl,
     t_acc, acc, ncall)`` where ``t_acc`` is the accepted step length
     (0 where rejected) so callers can update whitened coordinates
-    incrementally.
+    incrementally.  With ``wrap`` set, periodic dims are stored in
+    universal-cover coordinates (consistent with the whitened-coord
+    bookkeeping) and wrapped into the cube only for the likelihood
+    evaluation.
     """
     dtype = x0.dtype
 
@@ -401,8 +459,11 @@ def _shrink_slice(loglike2, data, shift, key, x0, lnl0, dirv, t_lo0,
         )
         # the bracket is cube-intersected, so xp is in-cube up to
         # rounding; clip instead of penalizing
-        xp = jnp.clip(x0 + t[..., None] * dirv, 0.0, 1.0)
-        lnlp = loglike2(xp, data) - shift
+        xr = x0 + t[..., None] * dirv
+        xp = jnp.clip(xr, 0.0, 1.0)
+        if wrap is not None:
+            xp = jnp.where(wrap, xr, xp)
+        lnlp = loglike2(_wrap_pts(xp, wrap), data) - shift
         ok = lnlp > lnl_star
         newly = ok & ~acc
         x = jnp.where(newly[..., None], xp, x)
@@ -433,7 +494,7 @@ def _shrink_slice(loglike2, data, shift, key, x0, lnl0, dirv, t_lo0,
 
 def _slice_chains(key, loglike2, data, shift, x, z, lnl_x, thr_b, dead_b,
                   chol, rmax, act, n_rep, cfg, u_all=None, order=None,
-                  n_surv=None):
+                  n_surv=None, wrap=None):
     """Advance ``[C, R]`` whitened slice chains by ``n_rep`` repeats.
 
     x/z/lnl_x: chain points in cube and whitened coords; thr_b/dead_b:
@@ -483,7 +544,11 @@ def _slice_chains(key, loglike2, data, shift, x, z, lnl_x, thr_b, dead_b,
         cb = jnp.take_along_axis(order, jnp.swapaxes(ib, 0, 1), axis=1)
         ua = u_all[rr[:, None], ca]                        # [R, C, D]
         ub = u_all[rr[:, None], cb]
-        dirv = jnp.swapaxes(ua - ub, 0, 1) * act           # [C, R, D]
+        dab = ua - ub
+        if wrap is not None:
+            # minimal image of the survivor difference on periodic dims
+            dab = jnp.where(wrap, dab - jnp.round(dab), dab)
+        dirv = jnp.swapaxes(dab, 0, 1) * act               # [C, R, D]
         nvec = _whiten(chol, dirv)
         # normalize to unit whitened length so the bracket and step
         # lengths live on the same scale as the gauss mode
@@ -505,10 +570,11 @@ def _slice_chains(key, loglike2, data, shift, x, z, lnl_x, thr_b, dead_b,
             use_d = (j % 2) == 0
             nvec = jnp.where(use_d, nv_d, nv_g)
             dirv = jnp.where(use_d, dv_d, dv_g)
-        t_lo, t_hi = _line_bracket(x, dirv, z, nvec, rmax[None, :])
+        t_lo, t_hi = _line_bracket(x, dirv, z, nvec, rmax[None, :],
+                                   wrap=wrap)
         xn, lnln, t_acc, acc, nc = _shrink_slice(
             loglike2, data, shift, ks, x, lnl_x, dirv, t_lo, t_hi,
-            thr_b, dead_b, cfg,
+            thr_b, dead_b, cfg, wrap=wrap,
         )
         upd = (~dead_b) & acc
         x = jnp.where(upd[..., None], xn, x)
@@ -927,6 +993,7 @@ def _segment_core(state: _State, loglike2, data, cfg: NSConfig,
     # the ellipsoid out of the cube) and sampled uniformly instead
     act, act_np = _act_arrays(cfg, D, dtype)
     any_flat = bool((act_np == 0.0).any())
+    wrap = _wrap_vec(cfg, D)
 
     def cond(s: _State):
         return (~jnp.all(s.done)) & (s.i < seg_end)
@@ -942,11 +1009,15 @@ def _segment_core(state: _State, loglike2, data, cfg: NSConfig,
         active = (~s.done) & (pending > 0)
         key, k_dir, k_rad, k_fall = random.split(s.key, 4)
 
+        # periodic dims: geometry sees minimal-image (recentered
+        # universal-cover) coordinates; a no-op when pwrap is unused
+        u_geo = _recenter(s.u, wrap)
+
         # bounding geometry: cached, refreshed every bound_every
         # iterations (see _compute_bounds for the staleness argument)
         bounds = lax.cond(
             (s.i % max(1, cfg.bound_every)) == 0,
-            lambda: _compute_bounds(s.u, zombie, act, act_np, cfg),
+            lambda: _compute_bounds(u_geo, zombie, act, act_np, cfg),
             lambda: s.bounds,
         )
 
@@ -996,9 +1067,12 @@ def _segment_core(state: _State, loglike2, data, cfg: NSConfig,
                 xj = mu_sel.swapaxes(0, 1) + jnp.einsum(
                     "rtde,tre->trd", chol_sel, z
                 )                                               # [T, R, D]
-                in_j = jnp.all(
-                    ((xj >= 0.0) & (xj <= 1.0)) | (act <= 0.0), axis=-1
-                )
+                in_ok = ((xj >= 0.0) & (xj <= 1.0)) | (act <= 0.0)
+                if wrap is not None:
+                    # periodic dims wrap into the cube instead of
+                    # rejecting the draw
+                    in_ok = in_ok | wrap
+                in_j = jnp.all(in_ok, axis=-1)
                 return xj, in_j
 
             k_rounds = random.split(k_cl, max(1, cfg.cube_redraws) + 1)
@@ -1013,10 +1087,15 @@ def _segment_core(state: _State, loglike2, data, cfg: NSConfig,
             if any_flat:
                 # flat dims: uniform draw, independent of the ellipsoid
                 cand = jnp.where(act > 0, cand, ucube)
+            cand = _wrap_pts(cand, wrap)
 
             # overlap thinning: accept with probability 1/n_ellipsoids
-            # containing the candidate (keeps the union uniform)
-            xc = (cand[:, :, None, :] - mu_all[None]) * act     # [T,R,KC+1,D]
+            # containing the candidate (keeps the union uniform);
+            # periodic dims use the minimal image of the offset
+            xc = cand[:, :, None, :] - mu_all[None]             # [T,R,KC+1,D]
+            if wrap is not None:
+                xc = jnp.where(wrap, xc - jnp.round(xc), xc)
+            xc = xc * act
             m2 = jnp.sum(
                 jnp.einsum("rkde,trke->trkd", inv_chol, xc) ** 2, axis=-1
             )                                                   # [T,R,KC+1]
@@ -1037,7 +1116,7 @@ def _segment_core(state: _State, loglike2, data, cfg: NSConfig,
             sel = jnp.take_along_axis(
                 zorder, (L - 1 - (jsel % nz_cnt))[:, None], axis=1
             )[:, 0]
-            x0 = s.u[rr, sel][None]                             # [1, R, D]
+            x0 = u_geo[rr, sel][None]                           # [1, R, D]
             lnl0 = jnp.take_along_axis(
                 s.lnl, sel[:, None], axis=1
             )[:, 0][None]                                       # [1, R]
@@ -1049,9 +1128,9 @@ def _segment_core(state: _State, loglike2, data, cfg: NSConfig,
                 thresh[None, :], (~active)[None, :],
                 chol_g, rmax_g, act, cfg.n_repeats, cfg,
                 u_all=s.u, order=jnp.flip(zorder, axis=1),
-                n_surv=nz_cnt,
+                n_surv=nz_cnt, wrap=wrap,
             )
-            cand = x                                            # [1, R, D]
+            cand = _wrap_pts(x, wrap)                           # [1, R, D]
             cand_lnl = lnl_x
             okc = moved & (cand_lnl > thresh) & active[None, :]
             n_eval = 0  # counted inside the shrink steps
@@ -1159,6 +1238,7 @@ def ns_segment_slice(state: _State, loglike2, data, cfg: NSConfig,
     rrc = jnp.broadcast_to(rr[None, :], (C, R))
     seg_end = jnp.asarray(seg_end, jnp.int32)
     act, act_np = _act_arrays(cfg, D, dtype)
+    wrap = _wrap_vec(cfg, D)
     n_rep = (cfg.n_repeats if cfg.method == "slice"
              else cfg.fallback_repeats)
 
@@ -1169,13 +1249,14 @@ def ns_segment_slice(state: _State, loglike2, data, cfg: NSConfig,
         shift = s.lnl_shift
         (dead_u, dead_lnl, lnz, n_deaths, pending, zombie,
          thresh) = _kill_record(s, cfg, lnw_tab, rr)
+        u_geo = _recenter(s.u, wrap)
         # refresh the whitening geometry EVERY iteration here: one
         # kill+slice iteration turns over kill_k/nlive (typically 25%)
         # of the live set -- the staleness tolerated by the candidate
         # regime's bound_every cadence would leave the slice brackets
         # whitened by a covariance ~e^2 too wide after 4 cycles, which
         # degrades chain mixing enough to bias lnZ (observed at D=12)
-        chol, mu, rmax = _slim_bounds(s.u, zombie, act, act_np, cfg)
+        chol, mu, rmax = _slim_bounds(u_geo, zombie, act, act_np, cfg)
         need = (~s.done) & (pending > 0)
 
         key, k1, k2 = random.split(s.key, 3)
@@ -1190,7 +1271,7 @@ def ns_segment_slice(state: _State, loglike2, data, cfg: NSConfig,
         ) * 2.0
         order = jnp.argsort(rscore, axis=1)                  # [R, L]
         sel = jnp.swapaxes(order[:, :C], 0, 1)               # [C, R]
-        x = s.u[rrc, sel]                                    # [C, R, D]
+        x = u_geo[rrc, sel]                                  # [C, R, D]
         lnl_x = s.lnl[rrc, sel]                              # [C, R]
         z = _whiten(chol, (x - mu[None]) * act)
         thr_b = jnp.broadcast_to(thresh[None, :], (C, R))
@@ -1198,8 +1279,9 @@ def ns_segment_slice(state: _State, loglike2, data, cfg: NSConfig,
         x, lnl_x, nc, moved = _slice_chains(
             k2, loglike2, data, shift, x, z, lnl_x, thr_b, dead_b,
             chol, rmax, act, n_rep, cfg,
-            u_all=s.u, order=order, n_surv=L - pending,
+            u_all=s.u, order=order, n_surv=L - pending, wrap=wrap,
         )
+        x = _wrap_pts(x, wrap)
 
         # insert moved chain endpoints into the pending zombie slots
         okf = moved & need[None, :]
@@ -1281,6 +1363,7 @@ def ns_slice_fill(state: _State, loglike2, data, cfg: NSConfig) -> _State:
     C = cfg.kill_k
     rr = jnp.arange(R)
     act, act_np = _act_arrays(cfg, D, dtype)
+    wrap = _wrap_vec(cfg, D)
     n_fall = cfg.fallback_repeats
 
     s = state
@@ -1293,6 +1376,7 @@ def ns_slice_fill(state: _State, loglike2, data, cfg: NSConfig) -> _State:
     # does, so reusing the bounded-staleness Cholesky is free
     # performance)
     chol, mu, rmax = _global_ell(s.bounds)
+    u_geo = _recenter(s.u, wrap)
 
     key, k1, k2 = random.split(s.key, 3)
     # one randomized sort: random survivors first, zombies last (see
@@ -1303,7 +1387,7 @@ def ns_slice_fill(state: _State, loglike2, data, cfg: NSConfig) -> _State:
     order = jnp.argsort(rscore, axis=1)                      # [R, L]
     sel = jnp.swapaxes(order[:, :C], 0, 1)                   # [C, R]
     rrc = jnp.broadcast_to(rr[None, :], (C, R))
-    x = s.u[rrc, sel]                                        # [C, R, D]
+    x = u_geo[rrc, sel]                                      # [C, R, D]
     lnl_x = s.lnl[rrc, sel]                                  # [C, R]
     z = _whiten(chol, (x - mu[None]) * act)
     thr_b = jnp.broadcast_to(s.thresh[None, :], (C, R))
@@ -1311,8 +1395,9 @@ def ns_slice_fill(state: _State, loglike2, data, cfg: NSConfig) -> _State:
     x, lnl_x, nc, moved = _slice_chains(
         k2, loglike2, data, s.lnl_shift, x, z, lnl_x, thr_b, dead_b,
         chol, rmax, act, n_fall, cfg,
-        u_all=s.u, order=order, n_surv=L - pending,
+        u_all=s.u, order=order, n_surv=L - pending, wrap=wrap,
     )
+    x = _wrap_pts(x, wrap)
 
     # insert moved chain endpoints into pending zombie slots
     okf = moved & need[None, :]

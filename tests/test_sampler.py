@@ -323,3 +323,90 @@ def test_efr_enlargement_converges():
     # run is a wild outlier.
     assert abs(lnz.mean() - lnz_true) < 0.35, (lnz.mean(), lnz_true)
     assert np.max(np.abs(lnz - lnz_true)) < 0.9, (lnz, lnz_true)
+
+
+@pytest.mark.parametrize("method", ["ellipsoid", "slice"])
+def test_pwrap_periodic_evidence(method):
+    """MultiNest pWrap analogue (reference core.pyx:761-763): a
+    wrapped Gaussian whose mass straddles the 0/1 seam on two periodic
+    dims.  With ``pwrap_dims`` set, the recentered (minimal-image)
+    geometry sees one compact cloud and the evidence matches the
+    analytic value; the posterior circular mean lands on the seam
+    mode."""
+    D = 4
+    sigma = 0.05
+    mu = np.array([0.02, 0.98, 0.5, 0.5])
+    wrap_dims = (0, 1)
+
+    def loglike(u):
+        d = u - mu
+        # periodic dims use the nearest-image distance
+        d = d.at[..., :2].set(d[..., :2] - jnp.round(d[..., :2]))
+        return -0.5 * jnp.sum(d**2, axis=-1) / sigma**2
+
+    cfg = NSConfig(nlive=200, tol=0.1, method=method,
+                   pwrap_dims=wrap_dims)
+    res = run_nested(random.key(7), loglike, D, 8, cfg,
+                     dtype=jnp.float64)
+    lnz_true = 0.5 * D * np.log(2 * np.pi * sigma**2)
+    lnz = np.asarray(res.lnz)
+    err = np.asarray(res.lnz_err)
+    assert np.asarray(res.converged).all()
+    assert np.all(np.abs(lnz - lnz_true) < 5 * np.maximum(err, 0.05)), (
+        lnz, lnz_true, err
+    )
+    # posterior circular mean on the periodic dims recovers the seam
+    # mode (plain posterior mean would sit uselessly near 0.5)
+    u_post = np.asarray(res.dead_u)
+    lnw = np.asarray(res.dead_lnw) + np.asarray(res.dead_lnl)
+    w = np.exp(lnw - lnw.max(axis=-1, keepdims=True))
+    w = w / w.sum(axis=-1, keepdims=True)
+    ang = 2 * np.pi * u_post[..., 0]
+    circ = np.arctan2((w * np.sin(ang)).sum(-1),
+                      (w * np.cos(ang)).sum(-1)) / (2 * np.pi) % 1.0
+    dist = np.abs(circ - mu[0])
+    dist = np.minimum(dist, 1.0 - dist)
+    assert np.all(dist < 0.02), circ
+
+
+def test_posterior_modes_separation():
+    """Per-mode reporting (MultiNest mmodal analogue, reference
+    core.pyx:746-747): a bimodal posterior decomposes into two modes
+    whose local evidences sum to the global lnZ and split the mass
+    evenly; a unimodal posterior reports a single mode regardless of
+    the k-means over-partitioning."""
+    from nestfit_tpu import posterior_modes
+
+    sigma, ndim = 0.04, 4
+    mu1, mu2 = 0.25, 0.75
+
+    def loglike(u):
+        d1 = jnp.sum((u - mu1) ** 2, axis=-1)
+        d2 = jnp.sum((u - mu2) ** 2, axis=-1)
+        return jnp.logaddexp(-0.5 * d1 / sigma**2, -0.5 * d2 / sigma**2)
+
+    cfg = NSConfig(nlive=400, tol=0.1, method="ellipsoid")
+    res = run_nested(random.key(2), loglike, ndim, 4, cfg,
+                     dtype=jnp.float64)
+    modes = posterior_modes(res, lambda u: u, max_modes=6)
+    n_modes = np.asarray(modes.n_modes)
+    assert np.all(n_modes == 2), n_modes
+    frac = np.sort(np.asarray(modes.mode_frac), axis=-1)[:, -2:]
+    assert np.all(np.abs(frac - 0.5) < 0.15), frac
+    # local evidences recombine to the global evidence
+    mlnz = np.asarray(modes.mode_lnz)
+    from scipy.special import logsumexp
+    tot = logsumexp(np.where(np.isfinite(mlnz), mlnz, -1e30), axis=-1)
+    assert np.allclose(tot, np.asarray(res.lnz), atol=1e-6)
+    # mode means land on the two true centers (order-free)
+    mm = np.asarray(modes.mode_mean)          # [R, K, D]
+    for r in range(mm.shape[0]):
+        used = np.isfinite(mlnz[r])
+        cents = np.sort(mm[r][used][:, 0])
+        assert np.allclose(cents, [mu1, mu2], atol=0.03), cents
+
+    # unimodal control: one mode only
+    res1 = run_nested(random.key(3), gaussian_loglike(0.05), ndim, 4,
+                      NSConfig(nlive=200, tol=0.1), dtype=jnp.float64)
+    modes1 = posterior_modes(res1, lambda u: u, max_modes=6)
+    assert np.all(np.asarray(modes1.n_modes) == 1), modes1.n_modes
