@@ -212,18 +212,18 @@ class NSConfig:
     #                               test_slice_fill_bias tests; see
     #                               docs/limitations.md
     init_chunk: int = 32          # live-point chunk for the init evals
-    min_compact: int = 256        # smallest compacted batch (segmented
-    #                               mode).  Each compacted size class
-    #                               is a fresh XLA compile of the
-    #                               whole segment program -- expensive
-    #                               through remote-tunneled TPU
-    #                               workers (30-90 s each, and the
-    #                               persistent compile cache does not
-    #                               reliably serve them) -- while the
-    #                               straggler tail at R=256 costs only
-    #                               seconds of device time, so one
-    #                               coarse class beats a ladder of
-    #                               small ones
+    min_compact: int = 64         # smallest compacted batch (segmented
+    #                               mode).  Compaction jumps to the
+    #                               smallest power-of-two class
+    #                               >= max(n_active, min_compact) and
+    #                               only when that shrinks the batch
+    #                               >= 4x: each size class is a fresh
+    #                               XLA compile of the segment program
+    #                               (30-90 s through remote-tunneled
+    #                               TPU workers, amortized by the
+    #                               persistent compile cache), so a
+    #                               4x jump (1024 -> 256 -> 64 in
+    #                               practice) beats a halving ladder
 
     def resolved(self, ndim: int) -> "NSConfig":
         max_iter = self.max_iter if self.max_iter > 0 else 120 * self.nlive
@@ -444,42 +444,81 @@ def _shrink_slice(loglike2, data, shift, key, x0, lnl0, dirv, t_lo0,
     universal-cover coordinates (consistent with the whitened-coord
     bookkeeping) and wrapped into the cube only for the likelihood
     evaluation.
+
+    **Speculative shrinkage**: each loop round evaluates TWO
+    sequential shrinkage proposals in one batched likelihood launch.
+    The second proposal's bracket depends only on the first's *sign*
+    (reject at t1 < 0 raises t_lo to t1; at t1 >= 0 lowers t_hi), not
+    on its accept/reject outcome, so t2 can be drawn from the
+    post-rejection bracket before t1's likelihood is known.  If t1
+    accepts, t2's evaluation is discarded padding (device work, never
+    counted as a consumed call); otherwise the pair reproduces the
+    exact sequential shrinkage chain.  This halves the number of
+    likelihood launches in the sampler's hottest loop -- each launch
+    is wide (chains x runs lanes) but launch/bookkeeping overhead per
+    while_loop round dominated the slice regime's wall clock
+    (measured: the 6-repeat x 8-round regime was ~2/3 of rung-2 wall
+    at R=1024).
     """
     dtype = x0.dtype
+    n_rounds = (cfg.max_contract + 1) // 2
 
     def sh_cond(carry):
         j, _key, _t_lo, _t_hi, _x, _lnl, _t_acc, acc, _ncall = carry
-        return (j < cfg.max_contract) & jnp.any(~(acc | done))
+        return (j < n_rounds) & jnp.any(~(acc | done))
 
     def sh_body(carry):
         j, key, t_lo, t_hi, x, lnl, t_acc, acc, ncall = carry
-        key, kt = random.split(key)
-        t = t_lo + (t_hi - t_lo) * random.uniform(
-            kt, lnl_star.shape, dtype=dtype
+        key, kt1, kt2 = random.split(key, 3)
+        t1 = t_lo + (t_hi - t_lo) * random.uniform(
+            kt1, lnl_star.shape, dtype=dtype
         )
-        # the bracket is cube-intersected, so xp is in-cube up to
-        # rounding; clip instead of penalizing
-        xr = x0 + t[..., None] * dirv
-        xp = jnp.clip(xr, 0.0, 1.0)
-        if wrap is not None:
-            xp = jnp.where(wrap, xr, xp)
-        lnlp = loglike2(_wrap_pts(xp, wrap), data) - shift
-        ok = lnlp > lnl_star
-        newly = ok & ~acc
-        x = jnp.where(newly[..., None], xp, x)
-        lnl = jnp.where(newly, lnlp, lnl)
-        t_acc = jnp.where(newly, t, t_acc)
+        # speculative second proposal: the bracket after a t1
+        # rejection is known from t1's sign alone
+        t_lo1 = jnp.where(t1 < 0, t1, t_lo)
+        t_hi1 = jnp.where(t1 >= 0, t1, t_hi)
+        t2 = t_lo1 + (t_hi1 - t_lo1) * random.uniform(
+            kt2, lnl_star.shape, dtype=dtype
+        )
+
+        def pt(t):
+            # the bracket is cube-intersected, so xp is in-cube up to
+            # rounding; clip instead of penalizing
+            xr = x0 + t[..., None] * dirv
+            xp = jnp.clip(xr, 0.0, 1.0)
+            if wrap is not None:
+                xp = jnp.where(wrap, xr, xp)
+            return xp
+
+        xp1, xp2 = pt(t1), pt(t2)
+        pair = jnp.concatenate([xp1[None], xp2[None]], axis=0)
+        lnlp = loglike2(
+            _wrap_pts(pair, wrap).reshape((-1,) + x0.shape[1:]), data
+        ).reshape((2,) + lnl_star.shape) - shift
+        ok1 = lnlp[0] > lnl_star
+        ok2 = lnlp[1] > lnl_star
+        # sequential accept order: t1 first, else t2
+        new1 = ok1 & ~acc
+        new2 = (~ok1) & ok2 & ~acc
+        x = jnp.where(new1[..., None], xp1,
+                      jnp.where(new2[..., None], xp2, x))
+        lnl = jnp.where(new1, lnlp[0], jnp.where(new2, lnlp[1], lnl))
+        t_acc = jnp.where(new1, t1, jnp.where(new2, t2, t_acc))
         # count only evaluations the *algorithm* consumed: once a lane
         # has accepted, further lockstep rounds (the batch waits for
         # its slowest lane) are SIMD padding, not likelihood calls the
         # sequential algorithm would have made -- the reference's
         # "~5k evals/fit" (docs/overview.rst:7-11) counts calls in
-        # that per-run sense
-        ncall = ncall + jnp.where(done | acc, 0, 1)
-        acc = acc | ok
+        # that per-run sense.  t2's evaluation is consumed only when
+        # t1 was rejected (sequential shrinkage would have made it).
+        live = ~(done | acc)
+        ncall = ncall + jnp.where(live, 1, 0) \
+            + jnp.where(live & ~ok1, 1, 0)
+        acc = acc | ok1 | ok2
+        # both rejected: apply t1's shrink, then t2's
         miss = ~acc
-        t_lo = jnp.where(miss & (t < 0), t, t_lo)
-        t_hi = jnp.where(miss & (t >= 0), t, t_hi)
+        t_lo = jnp.where(miss, jnp.where(t2 < 0, t2, t_lo1), t_lo)
+        t_hi = jnp.where(miss, jnp.where(t2 >= 0, t2, t_hi1), t_hi)
         return j + 1, key, t_lo, t_hi, x, lnl, t_acc, acc, ncall
 
     acc0 = jnp.zeros_like(lnl_star, dtype=bool)
@@ -1162,14 +1201,22 @@ def _segment_core(state: _State, loglike2, data, cfg: NSConfig,
         # signal).  Measure threshold-passing proposals (okc), NOT
         # slot fills: fills are capped by `pending`, which would drag
         # the EMA down on slot-starved iterations where candidates are
-        # fine.
+        # fine.  Runs still in the uniform-cube start-up phase are
+        # EXCLUDED from the signal: their acceptance is the raw prior
+        # mass above threshold, which says nothing about how well the
+        # ellipsoid union fits the contour -- mixing them in delayed
+        # the regime switch by ~100 iterations (~5k wasted evals/px,
+        # measured on the NH3 bench cube) because their early high
+        # acceptance props the EMA up while union-proposal runs have
+        # already collapsed.
         if cfg.method != "slice":
-            n_act = jnp.sum(active.astype(dtype))
+            sig = active & ~use_cube
+            n_sig = jnp.sum(sig.astype(dtype))
             acc = jnp.sum(
-                (okc & active[None, :]).astype(dtype)
-            ) / jnp.maximum(n_act * T, 1.0)
+                (okc & sig[None, :]).astype(dtype)
+            ) / jnp.maximum(n_sig * T, 1.0)
             acc_ema = jnp.where(
-                n_act > 0, 0.8 * s.acc_ema + 0.2 * acc, s.acc_ema
+                n_sig > 0, 0.8 * s.acc_ema + 0.2 * acc, s.acc_ema
             )
         else:
             acc_ema = s.acc_ema
@@ -1681,54 +1728,102 @@ def run_nested(
             break
         active_rows = np.flatnonzero(~done_np)
         n_active = active_rows.size
-        if (compact and acc is None and 0 < n_active <= cfg.min_compact
-                and cfg.min_compact < r_cur):
-            # bank the full batch, carry on with just the active runs
-            # (padded to min_compact with copies of the first active
-            # row, marked done)
-            acc = state
-            r_new = cfg.min_compact
-            pad = np.full(r_new - n_active, active_rows[0], dtype=np.int64)
-            sel = np.concatenate([active_rows, pad])
-            state = _gather_rows(state, sel, r_cur)
-            state = dataclasses.replace(
-                state,
-                done=jnp.asarray(np.concatenate(
-                    [np.zeros(n_active, bool), np.ones(len(pad), bool)]
-                )),
-            )
-            orig_idx = np.concatenate(
-                [orig_idx[active_rows], np.full(len(pad), -1, dtype=np.int64)]
-            )
-            cur_data = _gather_rows(cur_data, sel, r_cur)
-            r_cur = r_new
+        if compact and 0 < n_active and cfg.min_compact < r_cur:
+            # repeated straggler compaction: jump to the smallest
+            # power-of-two class >= max(n_active, min_compact), but
+            # only when it shrinks the batch by at least 4x -- each
+            # size class is a fresh XLA compile of the segment
+            # program, so a halving ladder would pay compiles for thin
+            # wins while a 4x jump (1024 -> 256 -> 64 in practice)
+            # captures most of the tail wall (measured: the R=256
+            # straggler phase was ~10s of a ~60s rung at R=1024)
+            tgt = cfg.min_compact
+            while tgt < n_active:
+                tgt *= 2
+            if tgt <= r_cur // 4:
+                # bank the current rows into the full-size
+                # accumulator, then re-gather just the active runs
+                # (padded with copies of the first active row, marked
+                # done)
+                if acc is None:
+                    acc = state
+                else:
+                    acc = _scatter_rows(acc, state, orig_idx, n_runs)
+                active_orig = orig_idx[active_rows]
+                pad = np.full(tgt - n_active, active_orig[0],
+                              dtype=np.int64)
+                sel = np.concatenate([active_orig, pad])
+                state = _gather_rows(acc, sel, n_runs)
+                state = dataclasses.replace(
+                    state,
+                    done=jnp.asarray(np.concatenate(
+                        [np.zeros(n_active, bool),
+                         np.ones(len(pad), bool)]
+                    )),
+                )
+                orig_idx = np.concatenate(
+                    [active_orig, np.full(len(pad), -1, dtype=np.int64)]
+                )
+                cur_data = _gather_rows(data, sel, n_runs)
+                r_cur = tgt
         if mode == "cand":
             step = min(cfg.switch_iters, segment_iters) if auto \
                 else segment_iters
             seg_j = _get_jit(loglike2, cfg, ndim, r_cur, dtype, "cand")
+            if _NS_DEBUG:
+                import time as _time
+                _t0 = _time.perf_counter()
             state = seg_j(state, cur_data,
                           jnp.int32(min(i + step, iter_cap)))
+            if _NS_DEBUG:
+                jax.block_until_ready(state.i)
+                print(f"ns-debug: cand seg i={i}->{int(state.i)} "
+                      f"R={r_cur} wall={_time.perf_counter()-_t0:.2f}s "
+                      f"ncall_mean={np.asarray(state.ncall).mean():.0f}",
+                      flush=True)
             if auto and len(state.bounds) == 7:
                 # one-way switch once the bounding union stops paying:
-                # past the cube start-up phase and candidate
-                # acceptance below the slice break-even
-                in_cube = float(np.asarray(state.bounds[5]).mean())
+                # candidate acceptance (measured over union-proposal
+                # runs only -- cube start-up runs carry no signal)
+                # below the slice break-even.  The small iteration
+                # floor lets the EMA see a few bound refreshes before
+                # it is trusted.
                 if _NS_DEBUG:
+                    in_cube = float(np.asarray(state.bounds[5]).mean())
                     print(f"ns-debug: i={int(state.i)} mode=cand "
                           f"acc_ema={float(state.acc_ema):.4f} "
                           f"in_cube={in_cube:.2f} "
                           f"done={int(np.asarray(state.done).sum())}",
                           flush=True)
-                if in_cube < 0.5 and float(state.acc_ema) < acc_thresh:
+                i_floor = max(2 * cfg.bound_every, 8)
+                if int(state.i) >= i_floor \
+                        and float(state.acc_ema) < acc_thresh:
                     b = state.bounds
                     state = dataclasses.replace(
                         state, bounds=(b[1][:, 0], b[0][:, 0], b[2][:, 0])
                     )
                     mode = "slice"
         else:
+            # shorter slice segments: ``seg_end`` is a traced argument
+            # (no recompile), and checking back with the host every
+            # ~64 iterations lets straggler compaction fire as soon as
+            # the active count drops below ``min_compact`` instead of
+            # up to ``segment_iters`` late (measured ~10% of rung wall
+            # at R=1024 / min_compact=256)
+            step_s = min(segment_iters, 64)
             seg_j = _get_jit(loglike2, cfg, ndim, r_cur, dtype, "slice")
+            if _NS_DEBUG:
+                import time as _time
+                _t0 = _time.perf_counter()
             state = seg_j(state, cur_data,
-                          jnp.int32(min(i + segment_iters, iter_cap)))
+                          jnp.int32(min(i + step_s, iter_cap)))
+            if _NS_DEBUG:
+                jax.block_until_ready(state.i)
+                print(f"ns-debug: slice seg i={i}->{int(state.i)} "
+                      f"R={r_cur} wall={_time.perf_counter()-_t0:.2f}s "
+                      f"done={int(np.asarray(state.done).sum())} "
+                      f"ncall_mean={np.asarray(state.ncall).mean():.0f}",
+                      flush=True)
 
     if acc is not None:
         state = _scatter_rows(acc, state, orig_idx, n_runs)
