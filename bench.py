@@ -98,12 +98,15 @@ def main():
 
     utrans = get_irdc_priors(vsys=0.0)
 
-    def make_runner(ncomp):
+    def make_runner(ncomp, ix=None):
         spectra = []
         for xarr, d, tid in ((xa11, d11, 1), (xa22, d22, 2)):
-            spec = ammonia.make_ammonia_spectrum(xarr, d, noise, trans_id=tid)
+            db = d if ix is None else d[ix]
+            spec = ammonia.make_ammonia_spectrum(xarr, db, noise,
+                                                 trans_id=tid)
             spec = dataclasses.replace(
-                spec, noise=jnp.full((n_pix,), noise, dtype=jnp.float32)
+                spec, noise=jnp.full((db.shape[0],), noise,
+                                     dtype=jnp.float32)
             )
             spectra.append(spec)
         return AmmoniaRunner(spectra, utrans, ncomp=ncomp)
@@ -111,8 +114,56 @@ def main():
     # reference cube-fit defaults (main.py:381-386)
     cfg = NSConfig(nlive=nlive, tol=1.0)
     seg = int(os.environ.get("BENCH_SEGMENT_ITERS", "250"))
+    mode_loss_margin = 8.0
+    r_retry = 64                   # fixed retry batch width (one
+    #                                compile class, reused via data=)
 
     runners = {n: make_runner(n) for n in (1, 2)}
+    # fixed-shape retry templates; per-retry pixel data enters as the
+    # ``data`` argument so the compiled sampler is reused
+    retry_runners = {n: make_runner(n, np.arange(r_retry)) for n in (1, 2)}
+
+    def retry_mode_losses(k, n, r, lnz, floor):
+        """Nested-model consistency retry (production-path behavior,
+        CubeFitter._refit_mode_losses): re-fit runs whose lnZ fell
+        more than ``mode_loss_margin`` nats below the previous rung
+        (a violation of the nested-model evidence floor => the run
+        lost the dominant mode), keep the consistent rerun.  Returns
+        (fit, lnz, extra_evals) with the discarded runs' likelihood
+        calls counted so evals/pixel stays honest."""
+        from nestfit_tpu.sampling.fit import merge_fit_rows
+
+        bad = np.flatnonzero(lnz < floor - mode_loss_margin)
+        if bad.size == 0:
+            return r, lnz, 0
+        bad = bad[:r_retry]
+        pad = np.concatenate([
+            bad, np.full(r_retry - bad.size, bad[0]),
+        ])
+        dsets = ((xa11, d11, 1), (xa22, d22, 2))
+        data_tree = tuple(
+            (jnp.asarray(d[pad], dtype=jnp.float32),
+             jnp.full((r_retry,), noise, dtype=jnp.float32))
+            for _x, d, _t in dsets
+        )
+        r2 = fit_batch(k, retry_runners[n], r_retry, cfg,
+                       segment_iters=seg, data=data_tree)
+        lnz_r = np.asarray(r2.lnz)[: bad.size]
+        better = lnz_r > lnz[bad]
+        nc_old = np.asarray(r.ns.ncall, dtype=np.int64)
+        nc_new = np.asarray(r2.ns.ncall, dtype=np.int64)[: bad.size]
+        # discarded runs' evals: the replaced originals plus the
+        # unsuccessful retries (whichever record is dropped)
+        extra = int(nc_old[bad[better]].sum() + nc_new[~better].sum())
+        if better.any():
+            dst = bad[better]
+            src = np.flatnonzero(better)
+            r = merge_fit_rows(r, r2, dst, src, n_pix, r_retry)
+            lnz = lnz.copy()
+            lnz[dst] = lnz_r[better]
+        log(f"bench: mode-loss retry ncomp={n}: {bad.size} runs below "
+            f"the nested-model floor, {int(better.sum())} recovered")
+        return r, lnz, extra
 
     def ladder(key, tag="", reserve=None):
         """Run both rungs; with ``reserve`` set, skip a rung whose
@@ -122,6 +173,8 @@ def main():
         compile-polluted warmup walls."""
         k1, k2 = random.split(key)
         results, walls = {}, {}
+        extra_evals = {}
+        prev_lnz = None
         for n, k in ((1, k1), (2, k2)):
             if reserve is not None:
                 est = 2.5 * max(walls.values()) if walls else 75.0
@@ -131,19 +184,25 @@ def main():
                         f"est {est:.0f}s + reserve {reserve:.0f}s)")
                     break
             t0 = time.perf_counter()
-            r = fit_batch(k, runners[n], n_pix, cfg, segment_iters=seg)
+            kf, kr = random.split(k)
+            r = fit_batch(kf, runners[n], n_pix, cfg, segment_iters=seg)
+            jax.block_until_ready(r.lnz)
+            lnz = np.asarray(r.lnz)
+            floor = np.asarray(r.null_lnz) if n == 1 else prev_lnz
+            r, lnz, extra_evals[n] = retry_mode_losses(kr, n, r, lnz, floor)
             jax.block_until_ready(r.lnz)
             walls[n] = time.perf_counter() - t0
+            prev_lnz = lnz
             nc = np.asarray(r.ns.ncall, dtype=np.int64)
             log(f"bench: {tag} ncomp={n} rung {walls[n]:.1f}s "
-                f"evals/px={nc.mean():.0f} "
+                f"evals/px={nc.mean() + extra_evals[n] / n_pix:.0f} "
                 f"deaths/px={np.asarray(r.ns.n_dead).mean():.0f}")
             results[n] = r
-        return results, walls
+        return results, walls, sum(extra_evals.values())
 
     log("bench: compiling + warmup ...")
     t0 = time.perf_counter()
-    results, _ = ladder(random.key(0), tag="warmup")
+    results, _, extra_nc = ladder(random.key(0), tag="warmup")
     t_warm = time.perf_counter() - t0
     log(f"bench: warmup (incl. compile) {t_warm:.1f}s "
         f"(budget left {remaining():.0f}s)")
@@ -161,11 +220,12 @@ def main():
     timed_clean = remaining() - baseline_reserve > 105.0
     if timed_clean:
         t0 = time.perf_counter()
-        t_results, walls = ladder(
+        t_results, walls, t_extra = ladder(
             random.key(seed), tag="timed", reserve=baseline_reserve,
         )
         if len(t_results) == 2:
             results = t_results
+            extra_nc = t_extra
             elapsed = time.perf_counter() - t0
             log(f"bench: clean timed pass {elapsed:.1f}s "
                 f"(rung1 {walls[1]:.1f}s rung2 {walls[2]:.1f}s)")
@@ -189,7 +249,7 @@ def main():
     conv = np.asarray(r1.ns.converged) & np.asarray(r2.ns.converged)
     ncall = np.asarray(r1.ns.ncall, dtype=np.int64) + np.asarray(
         r2.ns.ncall, dtype=np.int64
-    )
+    ) + extra_nc // n_pix
     fits_per_sec = n_pix / elapsed
     log(
         f"bench: {n_pix} ladder fits in {elapsed:.2f}s -> "

@@ -76,7 +76,8 @@ class CubeFitter:
                  lnZ_thresh=11, ncomp_max=2, ns_kwargs=None,
                  nlive_snr_fact=5, batch_size=1024, n_post=512,
                  nlive_buckets=4, segment_iters=256, mesh=None,
-                 max_retries=1):
+                 max_retries=1, mode_loss_margin=8.0,
+                 mode_loss_retries=1):
         self.stack = stack
         self.utrans = utrans
         self.runner_cls = runner_cls
@@ -93,6 +94,18 @@ class CubeFitter:
         self.segment_iters = segment_iters
         self.mesh = mesh
         self.max_retries = max_retries
+        # Nested-model evidence floor: model N+1 contains model N (an
+        # extra component at negligible amplitude reproduces it), so
+        # lnZ can drop from one rung to the next by at most the Occam
+        # penalty of the unused component (a few nats here).  A run
+        # whose lnZ falls further has provably lost the dominant
+        # posterior mode (observed rarely in lockstep batches: every
+        # live point drifts into one noise basin early and proposals
+        # never escape; measured lnZ deficits of 20 to 2500 nats vs
+        # the sequential engine on the same pixel).  Such pixels are
+        # re-fit with a fresh key and the consistent run kept.
+        self.mode_loss_margin = mode_loss_margin
+        self.mode_loss_retries = mode_loss_retries
         self._jit_cache = {}
 
     # mn_kwargs alias for reference API parity
@@ -293,6 +306,65 @@ class CubeFitter:
             )
         return self._jit_cache[cache_key]
 
+    def _refit_mode_losses(self, key, fit, lnz, prev, cur_ix, r_pad,
+                           ncomp, cfg, datas, noises):
+        """Detect and re-fit runs that violate the nested-model
+        evidence floor ``lnZ_N >= lnZ_{N-1} - mode_loss_margin``
+        (``lnZ_1 >= null_lnZ - margin`` on the first rung).
+
+        A violating run has provably lost the dominant mode -- the
+        bound holds for the true evidences by model nesting -- so the
+        failed pixels are re-fit as a small padded batch with a fresh
+        key, and each pixel keeps whichever run reports the higher
+        (i.e. consistent) evidence, whole-row (posteriors and products
+        included).  Conditioning the choice on an objective constraint
+        violation does not bias lnZ the way unconditional
+        max-of-restarts would.
+        """
+        from nestfit_tpu.sampling.fit import merge_fit_rows
+
+        n = cur_ix.size
+        for _ in range(self.mode_loss_retries):
+            bad = np.flatnonzero(lnz < prev - self.mode_loss_margin)
+            if bad.size == 0:
+                break
+            log.warning(
+                "mode-loss retry: %d/%d runs at ncomp=%d fell > %.0f "
+                "nats below the previous rung; re-fitting",
+                bad.size, n, ncomp, self.mode_loss_margin,
+            )
+            r_r = self._pad_quantum(bad.size)
+            pad_ix = np.concatenate([
+                cur_ix[bad], np.full(r_r - bad.size, cur_ix[bad][0]),
+            ])
+            d_r = [jnp.asarray(d[pad_ix], dtype=jnp.float32)
+                   for d in datas]
+            n_r = [jnp.asarray(np.maximum(nn[pad_ix], 1e-30),
+                               dtype=jnp.float32) for nn in noises]
+            key, sub = random.split(key)
+            template = self._get_template_runner(ncomp, r_r, d_r, n_r)
+            data_tree = self._shard_batch(tuple(zip(d_r, n_r)))
+            fit_r = fit_batch(
+                sub, template, r_r, cfg, n_post=self.n_post,
+                segment_iters=self.segment_iters, data=data_tree,
+            )
+            lnz_r = np.asarray(fit_r.lnz)[: bad.size]
+            better = lnz_r > lnz[bad]
+            if better.any():
+                dst = bad[better]
+                src = np.flatnonzero(better)
+                fit = merge_fit_rows(fit, fit_r, dst, src, r_pad, r_r)
+                lnz = lnz.copy()
+                lnz[dst] = lnz_r[better]
+        still = np.flatnonzero(lnz < prev - self.mode_loss_margin)
+        if still.size:
+            log.warning(
+                "mode-loss retry: %d runs at ncomp=%d still "
+                "inconsistent after %d retries (kept best lnZ)",
+                still.size, ncomp, self.mode_loss_retries,
+            )
+        return fit, lnz
+
     def _fit_batch_ladder(self, key, batch_ix, datas, noises, cfg,
                           chunk_path, n_lat):
         """Run the 1..ncomp_max ladder for one pixel batch and write
@@ -315,7 +387,7 @@ class CubeFitter:
             d_b = [jnp.asarray(d[pad_ix], dtype=jnp.float32) for d in datas]
             n_b = [jnp.asarray(np.maximum(n[pad_ix], 1e-30),
                                dtype=jnp.float32) for n in noises]
-            key, sub = random.split(key)
+            key, sub, k_retry = random.split(key, 3)
             t0 = time.time()
             template = self._get_template_runner(ncomp, r_pad, d_b, n_b)
             data_tree = self._shard_batch(tuple(zip(d_b, n_b)))
@@ -328,12 +400,16 @@ class CubeFitter:
                 "batch ladder: ncomp=%d R=%d (pad %d) nlive=%d took %.1fs",
                 ncomp, cur_ix.size, r_pad, cfg.nlive, time.time() - t0,
             )
-            fits[ncomp] = (fit, cur_ix)
             lnz = np.asarray(fit.lnz)[: cur_ix.size]
             if ncomp == 1:
                 prev = np.asarray(fit.null_lnz)[: cur_ix.size]
             else:
                 prev = old_lnz
+            fit, lnz = self._refit_mode_losses(
+                k_retry, fit, lnz, prev, cur_ix, r_pad, ncomp, cfg,
+                datas, noises,
+            )
+            fits[ncomp] = (fit, cur_ix)
             gain = lnz - prev
             passed = gain >= self.lnZ_thresh
             # update nbest for survivors that passed this rung

@@ -165,6 +165,30 @@ def fit_batch(
     )
 
 
+def merge_fit_rows(fit_a: FitResult, fit_b: FitResult, dst_rows,
+                   src_rows, n_rows_a: int, n_rows_b: int) -> FitResult:
+    """Replace run rows ``dst_rows`` of ``fit_a`` with rows
+    ``src_rows`` of ``fit_b``, leaf by leaf (on device).
+
+    Used by the mode-loss retry: when a rerun of a failed pixel
+    produces a consistent evidence, its entire per-run record
+    (posteriors, products, ICs) replaces the failed one.  Leaves whose
+    leading axis is not the run axis pass through from ``fit_a``.
+    """
+    dst = jnp.asarray(np.asarray(dst_rows, dtype=np.int64))
+    src = jnp.asarray(np.asarray(src_rows, dtype=np.int64))
+
+    def mg(a, b):
+        if (getattr(a, "ndim", 0) >= 1 and a.shape[0] == n_rows_a
+                and getattr(b, "ndim", 0) >= 1
+                and b.shape[0] == n_rows_b
+                and a.shape[1:] == b.shape[1:]):
+            return jnp.asarray(a).at[dst].set(jnp.asarray(b)[src])
+        return a
+
+    return jax.tree_util.tree_map(mg, fit_a, fit_b)
+
+
 def fit_single(key, runner: Runner, config: NSConfig = NSConfig(nlive=400, tol=0.5),
                n_post: int = 512, dtype=jnp.float32) -> FitResult:
     """Single-spectrum fit, the ``test_nested`` entry point equivalent

@@ -192,6 +192,23 @@ class NSConfig:
     #                               only enlarge, never truncate the
     #                               bound -- reference asserts
     #                               0 < efr <= 1, core.pyx:750)
+    ceff: bool = False            # MultiNest constant-efficiency mode
+    #                               (core.pyx:748-749): adapt each
+    #                               run's ellipsoid VOLUME so candidate
+    #                               acceptance tracks the ``efr``
+    #                               target (default 0.3 when efr=0),
+    #                               shrinking the proposal below the
+    #                               live-point cover when needed.  As
+    #                               in MultiNest this trades evidence
+    #                               reliability for speed (the shrunk
+    #                               proposal can truncate the contour,
+    #                               biasing lnZ high): parameter
+    #                               estimation only, keep off for
+    #                               model selection.  Volume shrink is
+    #                               floored at e^-6 and the auto
+    #                               regime switch is disabled (ceff
+    #                               keeps rejection sampling alive by
+    #                               construction)
     ell_cands: int = 0            # legacy alias: overrides cand_factor*kill_k
     dir_mode: str = "mix"         # slice direction set: "gauss"
     #                               (isotropic whitened), "diff"
@@ -277,7 +294,7 @@ def _weight_tables(nlive: int, kill_k: int, max_iter: int):
     data_fields=[
         "key", "u", "lnl", "lnl_shift", "lnz", "done", "converged",
         "n_deaths", "pending", "thresh", "zombie", "stall", "ncall",
-        "dead_u", "dead_lnl", "i", "bounds", "acc_ema",
+        "dead_u", "dead_lnl", "i", "bounds", "acc_ema", "ceff_mult",
     ],
     meta_fields=[],
 )
@@ -301,6 +318,8 @@ class _State:
     i: jax.Array          # scalar iteration counter
     bounds: tuple         # cached bounding geometry (_compute_bounds)
     acc_ema: jax.Array    # scalar EMA of candidate fills-per-proposal
+    ceff_mult: jax.Array  # [R] ceff-mode ellipsoid volume multiplier
+    #                       (stays 1 unless cfg.ceff)
 
 
 @partial(
@@ -935,6 +954,7 @@ def ns_init(key, loglike2, data, ndim: int, n_runs: int, cfg: NSConfig,
         i=jnp.int32(0),
         bounds=bounds0,
         acc_ema=jnp.asarray(1.0, dtype=dtype),
+        ceff_mult=jnp.ones((R,), dtype=dtype),
     )
 
 
@@ -1077,6 +1097,12 @@ def _segment_core(state: _State, loglike2, data, cfg: NSConfig,
             KC = mu_all.shape[1] - 1
             key, k_cl, k_ov = random.split(key, 3)
             d_act = float(act_np.sum())
+            if cfg.ceff:
+                # constant-efficiency mode: per-run radius scale from
+                # the adaptive volume multiplier (<= 1)
+                s_ceff = s.ceff_mult ** (1.0 / max(d_act, 1.0))  # [R]
+            else:
+                s_ceff = None
 
             # volume-proportional ellipsoid choice per candidate, with
             # cheap redraw rounds for candidates that land outside the
@@ -1097,6 +1123,8 @@ def _segment_core(state: _State, loglike2, data, cfg: NSConfig,
                     mu_all, kc.T[..., None], axis=1
                 )                                               # [R, T, D]
                 r_sel = jnp.take_along_axis(rmax_all, kc.T, axis=1)
+                if s_ceff is not None:
+                    r_sel = r_sel * s_ceff[:, None]
                 y = random.normal(kd, (T, R, D), dtype=dtype) * act
                 y = y / jnp.maximum(
                     jnp.linalg.norm(y, axis=-1, keepdims=True), 1e-30
@@ -1138,7 +1166,9 @@ def _segment_core(state: _State, loglike2, data, cfg: NSConfig,
             m2 = jnp.sum(
                 jnp.einsum("rkde,trke->trkd", inv_chol, xc) ** 2, axis=-1
             )                                                   # [T,R,KC+1]
-            inside = (m2 <= rmax_all[None] ** 2) & act_ell[None]
+            r_thin = rmax_all if s_ceff is None \
+                else rmax_all * s_ceff[:, None]
+            inside = (m2 <= r_thin[None] ** 2) & act_ell[None]
             n_e = jnp.maximum(jnp.sum(inside, axis=-1), 1)      # [T, R]
             thin = random.uniform(k_ov, (T, R), dtype=dtype) * n_e < 1.0
             # cube-phase draws are already uniform; no overlap thinning
@@ -1220,6 +1250,21 @@ def _segment_core(state: _State, loglike2, data, cfg: NSConfig,
             )
         else:
             acc_ema = s.acc_ema
+        if cfg.ceff and cfg.method != "slice":
+            # constant-efficiency controller: multiplicative volume
+            # update toward the target acceptance, per run
+            target = cfg.efr if cfg.efr > 0 else 0.3
+            acc_r = jnp.sum(okc.astype(dtype), axis=0) / float(T)  # [R]
+            ceff_mult = jnp.where(
+                active & ~use_cube,
+                jnp.clip(
+                    s.ceff_mult * jnp.exp(0.5 * (acc_r - target)),
+                    float(np.exp(-6.0)), 1.0,
+                ),
+                s.ceff_mult,
+            )
+        else:
+            ceff_mult = s.ceff_mult
 
         # ---- 4. termination ----
         newly_done, newly_conv = _check_termination(
@@ -1246,6 +1291,7 @@ def _segment_core(state: _State, loglike2, data, cfg: NSConfig,
             i=s.i + 1,
             bounds=bounds,
             acc_ema=acc_ema,
+            ceff_mult=ceff_mult,
         )
 
     return lax.while_loop(cond, body, state)
@@ -1373,6 +1419,7 @@ def ns_segment_slice(state: _State, loglike2, data, cfg: NSConfig,
             i=s.i + 1,
             bounds=(chol, mu, rmax),
             acc_ema=s.acc_ema,
+            ceff_mult=s.ceff_mult,
         )
 
     return lax.while_loop(cond, body, state)
@@ -1703,7 +1750,10 @@ def run_nested(
         state = ns_segment(state, loglike2, data, cfg, cfg.max_iter)
         return ns_finalize(state, cfg)
 
-    auto = cfg.method == "auto"
+    # ceff mode keeps rejection sampling alive by construction (the
+    # adaptive shrink holds acceptance at the target), so the one-way
+    # slice switch is disabled
+    auto = cfg.method == "auto" and not cfg.ceff
     mode = "slice" if cfg.method == "slice" else "cand"
     acc_thresh = cfg.cand_min_acc if cfg.cand_min_acc > 0 else 0.12
 
@@ -1804,13 +1854,17 @@ def run_nested(
                     )
                     mode = "slice"
         else:
-            # shorter slice segments: ``seg_end`` is a traced argument
-            # (no recompile), and checking back with the host every
-            # ~64 iterations lets straggler compaction fire as soon as
-            # the active count drops below ``min_compact`` instead of
-            # up to ``segment_iters`` late (measured ~10% of rung wall
-            # at R=1024 / min_compact=256)
-            step_s = min(segment_iters, 64)
+            # shorter slice segments while compaction is still
+            # possible: ``seg_end`` is a traced argument (no
+            # recompile), and checking back with the host every ~64
+            # iterations lets straggler compaction fire as soon as the
+            # active count drops below the next size class (measured
+            # ~10% of rung wall at R=1024).  At or below
+            # ``min_compact`` no further compaction can fire, so long
+            # segments avoid paying tunnel round-trip latency on every
+            # 64 iterations of a small straggler batch
+            step_s = min(segment_iters, 64) if r_cur > cfg.min_compact \
+                else segment_iters
             seg_j = _get_jit(loglike2, cfg, ndim, r_cur, dtype, "slice")
             if _NS_DEBUG:
                 import time as _time

@@ -147,3 +147,43 @@ def test_diazenylium_fit_recovery():
     best = np.asarray(fit.products.bestfit_params)[0]
     assert abs(best[0] - params[0]) < 0.2       # voff
     assert abs(best[3] - params[3]) < 0.2       # sigm
+
+
+def test_merge_fit_rows():
+    """merge_fit_rows swaps whole per-run records (lnZ, posteriors,
+    products) between two FitResults of different batch widths."""
+    from nestfit_tpu.sampling.fit import merge_fit_rows
+
+    utrans = get_gaussian_priors(vsys=0.0)
+    p1 = np.array([0.0, 0.5, 3.0])
+    spec1, *_ = make_gauss_spec(p1, noise=0.3, seed=4)
+    import dataclasses as dc
+    data4 = jnp.stack([spec1.data] * 4)
+    noise4 = jnp.stack([spec1.noise] * 4)
+    spec_b = dc.replace(spec1, data=data4, noise=noise4)
+    runner = GaussianRunner(spec_b, utrans, ncomp=1)
+    fit_a = fit_batch(random.key(0), runner, 4,
+                      NSConfig(nlive=50, tol=1.0), n_post=32)
+
+    data2 = jnp.stack([spec1.data] * 2)
+    noise2 = jnp.stack([spec1.noise] * 2)
+    spec_c = dc.replace(spec1, data=data2, noise=noise2)
+    runner2 = GaussianRunner(spec_c, utrans, ncomp=1)
+    fit_b = fit_batch(random.key(1), runner2, 2,
+                      NSConfig(nlive=50, tol=1.0), n_post=32)
+
+    merged = merge_fit_rows(fit_a, fit_b, dst_rows=[2], src_rows=[1],
+                            n_rows_a=4, n_rows_b=2)
+    # row 2 now carries fit_b's run 1, the others are untouched
+    assert np.isclose(float(merged.lnz[2]), float(fit_b.lnz[1]))
+    for i in (0, 1, 3):
+        assert np.isclose(float(merged.lnz[i]), float(fit_a.lnz[i]))
+    np.testing.assert_allclose(
+        np.asarray(merged.products.bestfit_params[2]),
+        np.asarray(fit_b.products.bestfit_params[1]),
+    )
+    np.testing.assert_allclose(
+        np.asarray(merged.products.bestfit_params[0]),
+        np.asarray(fit_a.products.bestfit_params[0]),
+    )
+    assert int(merged.ns.ncall[2]) == int(fit_b.ns.ncall[1])

@@ -249,3 +249,57 @@ def test_fit_cube_resume(synth_stack, tmp_path):
         # manifest now covers everything that was fitted too
         done = set(store.completed_pixels().tolist())
         assert set(pre_done.tolist()) <= done
+
+
+def test_mode_loss_refit(synth_stack):
+    """The nested-model consistency retry re-fits runs flagged as
+    mode losses and keeps the higher-evidence record.
+
+    A genuine lockstep mode loss is not seeded deterministically, so
+    the failure is injected: a healthy batch's lnZ vector is doctored
+    to put one pixel far below the nested-model floor, and
+    ``_refit_mode_losses`` must re-fit exactly that pixel and restore
+    a consistent evidence.
+    """
+    from jax import random
+    from nestfit_tpu.sampling import NSConfig
+    from nestfit_tpu.sampling.fit import fit_batch
+
+    stack, params = synth_stack
+    utrans = get_irdc_priors(vsys=0.0)
+    fitter = CubeFitter(
+        stack, utrans, AmmoniaRunner, ncomp_max=1,
+        ns_kwargs={"nlive": 60, "tol": 1.0},
+        batch_size=8, n_post=64, nlive_buckets=1, segment_iters=128,
+    )
+    datas, noises, nan_mask, _snr = stack.get_flat_batch()
+    cur_ix = np.nonzero(~nan_mask)[0][:4]
+    cfg = NSConfig(nlive=60, tol=1.0)
+    r_pad = fitter._pad_quantum(cur_ix.size)
+    pad_ix = np.concatenate(
+        [cur_ix, np.full(r_pad - cur_ix.size, cur_ix[0])])
+    import jax.numpy as jnp
+    d_b = [jnp.asarray(d[pad_ix], dtype=jnp.float32) for d in datas]
+    n_b = [jnp.asarray(np.maximum(n[pad_ix], 1e-30), dtype=jnp.float32)
+           for n in noises]
+    template = fitter._get_template_runner(1, r_pad, d_b, n_b)
+    fit = fit_batch(random.key(2), template, r_pad, cfg, n_post=64,
+                    segment_iters=128, data=tuple(zip(d_b, n_b)))
+    lnz_true = np.asarray(fit.lnz)[: cur_ix.size]
+    prev = np.asarray(fit.null_lnz)[: cur_ix.size]
+
+    # inject a fake mode loss on pixel 0
+    lnz_bad = lnz_true.copy()
+    lnz_bad[0] = prev[0] - 500.0
+    fit2, lnz_fixed = fitter._refit_mode_losses(
+        random.key(3), fit, lnz_bad, prev, cur_ix, r_pad, 1, cfg,
+        datas, noises,
+    )
+    # the flagged pixel was re-fit to a consistent evidence ...
+    assert lnz_fixed[0] > prev[0] - fitter.mode_loss_margin
+    assert abs(lnz_fixed[0] - lnz_true[0]) < 25.0
+    assert np.isclose(float(fit2.lnz[0]), lnz_fixed[0])
+    # ... and untouched pixels keep their original records
+    np.testing.assert_allclose(lnz_fixed[1:], lnz_true[1:])
+    np.testing.assert_allclose(np.asarray(fit2.lnz)[1: cur_ix.size],
+                               lnz_true[1:])

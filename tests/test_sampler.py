@@ -410,3 +410,30 @@ def test_posterior_modes_separation():
                       NSConfig(nlive=200, tol=0.1), dtype=jnp.float64)
     modes1 = posterior_modes(res1, lambda u: u, max_modes=6)
     assert np.all(np.asarray(modes1.n_modes) == 1), modes1.n_modes
+
+
+def test_ceff_constant_efficiency_mode():
+    """MultiNest's constant-efficiency analogue (reference
+    core.pyx:748-749): with ``ceff=True`` the per-run ellipsoid volume
+    adapts so candidate acceptance tracks the efr target, keeping
+    rejection sampling alive for the whole run (no slice switch).
+    Evidence reliability is documented as degraded (the shrunk
+    proposal can truncate the contour), so the lnZ assertion is loose;
+    the proposal-economy assertion is the point of the mode."""
+    ndim, sigma = 8, 0.06
+    R = 16
+    ll = gaussian_loglike(sigma)
+    cfg = NSConfig(nlive=100, tol=0.5, ceff=True, efr=0.3)
+    res = run_nested(
+        random.key(31), lambda u, _d: ll(u), ndim, R, cfg,
+        dtype=jnp.float64, data={}, segment_iters=100,
+    )
+    lnz_true = 0.5 * ndim * np.log(2 * np.pi * sigma**2)
+    lnz = np.asarray(res.lnz)
+    assert np.all(np.asarray(res.converged))
+    # parameter-estimation accuracy class: bias bounded, not tight
+    assert abs(lnz.mean() - lnz_true) < 1.5, (lnz.mean(), lnz_true)
+    # proposal economy: near-target acceptance => few evals per death
+    epd = (np.asarray(res.ncall, dtype=np.int64)
+           / np.maximum(np.asarray(res.n_dead), 1))
+    assert epd.mean() < 15.0, epd
