@@ -164,14 +164,20 @@ class NSConfig:
     #                               for one stuck run
     n_repeats: int = 0            # slice steps per replacement for
     #                               method="slice"; 0 -> 2*ndim
-    max_contract: int = 8         # shrinkage rounds per slice step.
+    max_contract: int = 6         # shrinkage proposals per slice step.
     #                               The analytic bracket starts at the
     #                               bounding-ellipsoid chord (~10
     #                               whitened units), so typical chains
-    #                               accept after 3-6 shrink rounds;
-    #                               lanes that exhaust the budget keep
-    #                               their current point (a rare, valid
-    #                               rejection -- mixing loss only)
+    #                               accept after 3-4 proposals; lanes
+    #                               that exhaust the budget keep their
+    #                               current point (a rare, valid
+    #                               rejection -- mixing loss only).
+    #                               Measured at D=12 forced-slice:
+    #                               6 vs 8 leaves bias and evals/death
+    #                               unchanged while cutting one
+    #                               lockstep device round (proposals
+    #                               are evaluated in speculative
+    #                               pairs)
     cov_reg: float = 1e-10        # covariance diagonal regularizer
     ell_fudge: float = 1.05       # ellipsoid enlargement over max
     #                               Mahalanobis radius.  The radius
@@ -775,17 +781,32 @@ def _compute_bounds(u, zombie, act, act_np, cfg: NSConfig):
     km_iters = max(1, cfg.km_iters)
     zorder = jnp.argsort(~zombie, axis=1, stable=True)     # [R, L]
 
-    # k-means over non-zombie points, centers seeded from
-    # evenly-spaced survivors (zorder lists zombies first)
+    # k-means over non-zombie points in WHITENED coordinates (the
+    # global-covariance metric): raw-cube distances are dominated by
+    # the widest parameter directions, so k-means cells cut across the
+    # contour's short axes and their bounding ellipsoids never beat
+    # the single global bound (measured: the coverage guard never
+    # engaged on the NH3 bench cube).  In the whitened metric a
+    # curved or elongated contour segments along its length, which is
+    # the decomposition that actually shrinks the union volume
+    # (MultiNest clusters in a comparable shape-normalized space).
+    # Centers are seeded from evenly-spaced survivors (zorder lists
+    # zombies first); cluster moments are taken in cube space from the
+    # final memberships.
+    du0 = (u - mean[:, None, :]) * act
+    zpts = jax.scipy.linalg.solve_triangular(
+        chol, jnp.swapaxes(du0, 1, 2), lower=True
+    )                                                   # [R, D, L]
+    zpts = jnp.swapaxes(zpts, 1, 2)                     # [R, L, D]
     seed_frac = jnp.linspace(0.0, 1.0, KC)[None, :]
     seed_pos = (L - 1 - seed_frac * (n_live[:, None] - 1.0))
     seed_pos = jnp.clip(seed_pos.astype(jnp.int32), 0, L - 1)
     seed_ix = jnp.take_along_axis(zorder, seed_pos, axis=1)
-    centers = jnp.take_along_axis(u, seed_ix[..., None], axis=1)
+    centers = jnp.take_along_axis(zpts, seed_ix[..., None], axis=1)
     big = jnp.asarray(1e10, dtype=dtype)
     for _ in range(km_iters):
         d2 = jnp.sum(
-            ((u[:, :, None, :] - centers[:, None, :, :]) * act) ** 2,
+            (zpts[:, :, None, :] - centers[:, None, :, :]) ** 2,
             axis=-1,
         )                                               # [R, L, KC]
         assign = jnp.argmin(d2, axis=-1)                # [R, L]
@@ -794,14 +815,17 @@ def _compute_bounds(u, zombie, act, act_np, cfg: NSConfig):
         ) & (~zombie)[..., None]
         wk = member.astype(dtype)                       # [R, L, KC]
         cnt = jnp.sum(wk, axis=1)                       # [R, KC]
-        new_c = jnp.einsum("rlk,rld->rkd", wk, u)
+        new_c = jnp.einsum("rlk,rld->rkd", wk, zpts)
         new_c = new_c / jnp.maximum(cnt, 1.0)[..., None]
         # keep empty clusters where they were
         centers = jnp.where((cnt > 0)[..., None], new_c, centers)
 
-    # per-cluster moments, shrunk toward the global covariance
-    # when the cluster is too small to estimate its own
-    mu_k = centers
+    # per-cluster moments IN CUBE SPACE from the final memberships
+    # (centers live in the whitened metric), shrunk toward the global
+    # covariance when the cluster is too small to estimate its own
+    mu_k = jnp.einsum("rlk,rld->rkd", wk, u) \
+        / jnp.maximum(cnt, 1.0)[..., None]
+    mu_k = jnp.where((cnt > 0)[..., None], mu_k, mean[:, None])
     du_k = (u[:, :, None, :] - mu_k[:, None]) * wk[..., None] * act
     cov_k = jnp.einsum("rlkd,rlke->rkde", du_k, du_k)
     cov_k = cov_k / jnp.maximum(cnt, 1.0)[..., None, None]

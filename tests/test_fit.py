@@ -49,6 +49,7 @@ def test_fit_single_gaussian_recovery():
     assert float(res.lnz[0]) - float(res.null_lnz[0]) > 50.0
 
 
+@pytest.mark.slow
 def test_fit_batch_model_selection_gaussian():
     """1-comp data: lnZ(2) - lnZ(1) must be below the threshold;
     2-comp data: above (the Bayes-factor ladder gate,

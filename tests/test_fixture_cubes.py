@@ -128,6 +128,7 @@ def test_flat_batch_masks(stack):
     assert max_snr[center] > 5.0
 
 
+@pytest.mark.slow
 def test_fixture_fit_recovers_truth(stack):
     """End-to-end: fit bright fixture pixels, compare the recovered
     centroid/width to the committed truth maps (the role of the

@@ -39,7 +39,10 @@ def gaussian_loglike(sigma, mu=0.5, normalized=False):
 
 
 @pytest.mark.parametrize("method", ["slice", "ellipsoid"])
-@pytest.mark.parametrize("ndim,sigma", [(2, 0.05), (6, 0.05), (12, 0.08)])
+@pytest.mark.parametrize("ndim,sigma", [
+    (2, 0.05), (6, 0.05),
+    pytest.param(12, 0.08, marks=pytest.mark.slow),
+])
 def test_gaussian_evidence(ndim, sigma, method):
     R = 8
     cfg = NSConfig(nlive=200, tol=0.1, method=method)
@@ -102,6 +105,7 @@ def test_bimodal_evidence():
     )
 
 
+@pytest.mark.slow
 def test_posterior_products_gaussian():
     ndim, sigma = 4, 0.05
     R = 4
@@ -208,6 +212,7 @@ def test_segmented_auto_agrees():
     assert abs(lnz.mean() - lnz_true) < 2 * err.mean() / np.sqrt(8) + 0.15
 
 
+@pytest.mark.slow
 def test_slice_fill_bias_default_path():
     """Pin the lnZ bias of the DEFAULT segmented configuration at
     D=12 (VERDICT r1 item 5): |bias| < 0.3 nats on the analytic
@@ -233,6 +238,7 @@ def test_slice_fill_bias_default_path():
     assert abs(bias) < 0.3, (bias, lnz, lnz_true)
 
 
+@pytest.mark.slow
 def test_slice_fill_bias_forced_ceiling():
     """Regression ceiling for the PURE kill+slice regime at D=12:
     with every mid-run insert coming from batched slice chains
@@ -369,6 +375,7 @@ def test_pwrap_periodic_evidence(method):
     assert np.all(dist < 0.02), circ
 
 
+@pytest.mark.slow
 def test_posterior_modes_separation():
     """Per-mode reporting (MultiNest mmodal analogue, reference
     core.pyx:746-747): a bimodal posterior decomposes into two modes
