@@ -147,7 +147,8 @@ def main():
             for _x, d, _t in dsets
         )
         r2 = fit_batch(k, retry_runners[n], r_retry, cfg,
-                       segment_iters=seg, data=data_tree)
+                       segment_iters=seg, data=data_tree,
+                       active=np.arange(r_retry) < bad.size)
         lnz_r = np.asarray(r2.lnz)[: bad.size]
         better = lnz_r > lnz[bad]
         nc_old = np.asarray(r.ns.ncall, dtype=np.int64)

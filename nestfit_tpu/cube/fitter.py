@@ -347,6 +347,7 @@ class CubeFitter:
             fit_r = fit_batch(
                 sub, template, r_r, cfg, n_post=self.n_post,
                 segment_iters=self.segment_iters, data=data_tree,
+                active=np.arange(r_r) < bad.size,
             )
             lnz_r = np.asarray(fit_r.lnz)[: bad.size]
             better = lnz_r > lnz[bad]
@@ -391,9 +392,13 @@ class CubeFitter:
             t0 = time.time()
             template = self._get_template_runner(ncomp, r_pad, d_b, n_b)
             data_tree = self._shard_batch(tuple(zip(d_b, n_b)))
+            # padding rows are born done: a live copy of a real pixel
+            # would run a full fit and can set the lockstep tail
+            act_m = np.arange(r_pad) < cur_ix.size
             fit = fit_batch(
                 sub, template, r_pad, cfg, n_post=self.n_post,
                 segment_iters=self.segment_iters, data=data_tree,
+                active=act_m,
             )
             jax.block_until_ready(fit.lnz)
             log.info(

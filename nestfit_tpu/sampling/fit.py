@@ -98,6 +98,7 @@ def fit_batch(
     dtype=jnp.float32,
     segment_iters: int = 0,
     data=None,
+    active=None,
 ) -> FitResult:
     """Fit a batch of pixels with nested sampling.
 
@@ -110,7 +111,9 @@ def fit_batch(
     of bounded device segments (robust on real hardware, not jittable
     from outside); pass ``data`` (``runner.data_tree()``-structured)
     to substitute fresh pixel data while reusing the compiled sampler
-    of this runner template.
+    of this runner template.  ``active`` marks padding rows of a
+    partial batch as born-done (their results are meaningless; see
+    ``run_nested``).
     """
     k_ns, k_post = random.split(key)
 
@@ -129,7 +132,7 @@ def fit_batch(
         loglike2 = _loglike2_for(runner, dtype)
         ns = run_nested(
             k_ns, loglike2, runner.ndim, n_runs, config, dtype=dtype,
-            data=data, segment_iters=segment_iters,
+            data=data, segment_iters=segment_iters, active=active,
         )
         products, null_lnz, ics = _finalize_for(runner, n_post, dtype)(
             ns, data, k_post
@@ -144,7 +147,7 @@ def fit_batch(
             return runner.loglike_unit(u).astype(dtype)
 
         ns = run_nested(k_ns, loglike, runner.ndim, n_runs, config,
-                        dtype=dtype)
+                        dtype=dtype, active=active)
         products = posterior_products(
             ns, lambda u: runner.transform(u), k_post, n_post=n_post
         )

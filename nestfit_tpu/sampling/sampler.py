@@ -1728,6 +1728,7 @@ def run_nested(
     data=None,
     segment_iters: int = 0,
     compact: bool = True,
+    active=None,
 ) -> NSResult:
     """Run ``n_runs`` independent nested-sampling fits in lockstep.
 
@@ -1765,12 +1766,28 @@ def run_nested(
         jump: each batch-size class is a fresh XLA compile of the
         segment program (30-90 s through remote-tunneled workers),
         so one coarse class beats a ladder of halvings.
+    active : bool[n_runs], optional
+        Rows marked False are born done: static batch shapes force
+        callers to pad partial batches (pow2 classes, retry subsets)
+        with copies of real pixels, and without the mask each copy
+        runs a full nested-sampling fit and can set the lockstep
+        straggler tail.  Masked rows pay only the init evaluation;
+        their results are meaningless and must be ignored by the
+        caller.
     """
     cfg = config.resolved(ndim)
     loglike2, data = _normalize_loglike(loglike, data)
 
+    def apply_active(state):
+        if active is None:
+            return state
+        return dataclasses.replace(
+            state, done=state.done | ~jnp.asarray(active, dtype=bool)
+        )
+
     if not (segment_iters and segment_iters > 0):
         state = ns_init(key, loglike2, data, ndim, n_runs, cfg, dtype)
+        state = apply_active(state)
         state = ns_segment(state, loglike2, data, cfg, cfg.max_iter)
         return ns_finalize(state, cfg)
 
@@ -1782,6 +1799,7 @@ def run_nested(
     acc_thresh = cfg.cand_min_acc if cfg.cand_min_acc > 0 else 0.12
 
     state = _get_jit(loglike2, cfg, ndim, n_runs, dtype, "init")(key, data)
+    state = apply_active(state)
 
     # Host loop with regime switching and straggler compaction.  All
     # row movement happens on device: ``acc`` banks the full-size

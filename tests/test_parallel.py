@@ -178,3 +178,44 @@ def test_distributed_single_process():
     assert spans[0][0] == 0 and spans[-1][1] == 103
     assert all(a[1] == b[0] for a, b in zip(spans, spans[1:]))
     assert host_chunk_name() == "chunk0"
+
+
+@pytest.mark.slow
+def test_compaction_ladder_on_mesh():
+    """Straggler compaction (repeated power-of-two re-gather of the
+    active runs) must work with pixel data sharded over the mesh: the
+    banked full-size state, the compacted batch, and the final
+    scatter-back all cross sharding boundaries."""
+    n_pix, n_chan = 128, 48
+    rng = np.random.default_rng(5)
+    vaxis = np.linspace(-10, 10, n_chan)
+    params = np.array([0.0, 11.0, 5.0, 14.3, 0.5, 0.0])
+    mesh = make_mesh(8, sp=2)
+
+    spectra = []
+    for tid in (1, 2):
+        xarr = freq_axis_from_velocity(vaxis, AMMONIA_TRANSITIONS[tid - 1].nu)
+        d = rng.normal(scale=0.3, size=(n_pix, n_chan)) + oracle.amm_predict(
+            xarr, params, trans_id=tid
+        )
+        spec = ammonia.make_ammonia_spectrum(xarr, d, 0.3, trans_id=tid)
+        spec = dataclasses.replace(
+            spec, noise=jnp.full((n_pix,), 0.3, dtype=spec.data.dtype)
+        )
+        spectra.append(spec)
+    runner = AmmoniaRunner(spectra, get_irdc_priors(vsys=0.0), ncomp=1)
+
+    # min_compact far below the batch so the ladder fires at least
+    # once (128 -> 32 -> ... as stragglers finish); short segments so
+    # the host checks often
+    cfg = NSConfig(nlive=30, tol=1.0, max_iter=900, min_compact=16)
+    data_shard = shard_pixel_batch(mesh, runner.data_tree())
+    with jax.set_mesh(mesh):
+        fit = fit_batch(random.key(3), runner, n_pix, cfg, n_post=32,
+                        segment_iters=40, data=data_shard)
+        lnz = np.asarray(fit.lnz)
+    assert lnz.shape == (n_pix,)
+    assert np.all(np.isfinite(lnz))
+    assert np.asarray(fit.ns.converged).mean() > 0.9
+    # every pixel saw the same strong line: evidence beats null
+    assert np.all(lnz - np.asarray(fit.null_lnz) > 11.0)
