@@ -103,6 +103,25 @@ class NSConfig:
     cand_factor: int = 2          # proposal candidates per kill slot
     n_clusters: int = 3           # bounding ellipsoids per run (mmodal)
     km_iters: int = 4             # Lloyd iterations for the clustering
+    km_refine: int = 3            # Mahalanobis-reassignment rounds
+    #                               after k-means: fit each cluster's
+    #                               bounding ellipsoid, then reassign
+    #                               every point to the cluster whose
+    #                               boundary it is deepest inside
+    #                               (argmin d^2/rmax^2) and refit --
+    #                               the MultiNest ellipsoid-set
+    #                               refinement (Feroz & Hobson 2008
+    #                               sec. 5.2; reference core.pyx:
+    #                               746-747 links it as mmodal).
+    #                               k-means cells cut a curved contour
+    #                               across its short axes; this step
+    #                               lets elongated ellipsoids claim
+    #                               the points they already cover,
+    #                               which is what actually shrinks the
+    #                               union volume and keeps candidate
+    #                               acceptance (and with it the
+    #                               unbiased independent-insert
+    #                               regime) alive at high D
     cluster_vol_frac: float = 0.7  # use clusters only if their total
     #                                volume beats this fraction of the
     #                                single ellipsoid's (coverage guard)
@@ -133,17 +152,35 @@ class NSConfig:
     #                               never correctness (as in MultiNest)
     block_iters: int = 8          # candidate iterations between
     #                               slice-fill passes
-    cand_min_acc: float = 0.05    # candidate-acceptance EMA below which
+    cand_min_acc: float = 0.0     # candidate-acceptance EMA below which
     #                               the segmented "auto" method retires
     #                               the candidate program and switches
     #                               (one-way) to the kill+slice
-    #                               program.  Candidate inserts are
-    #                               INDEPENDENT draws (no slice
-    #                               correlation bias), so they stay
-    #                               preferred until a death costs more
-    #                               than a decorrelated slice chain
-    #                               (~fallback_repeats * 4-5 evals):
-    #                               1/0.05 = 20 evals/death break-even.
+    #                               program.  0 (default) -> 0.6x the
+    #                               break-even with the slice chain's
+    #                               actual cost, 0.6 /
+    #                               (fallback_repeats * 2.6 + 0.6)
+    #                               (measured NH3 cube: 2.6 consumed
+    #                               evals per slice step + ~0.6
+    #                               overhead/death): 0.071 at D=6,
+    #                               0.053 at D=12.  Candidate inserts
+    #                               are INDEPENDENT draws (no slice
+    #                               correlation bias), so they are
+    #                               kept up to ~1.7x the slice cost:
+    #                               on contours whose union
+    #                               acceptance genuinely collapses
+    #                               (NH3 placement priors, ~0.005)
+    #                               any threshold fires the rescue
+    #                               early, while on well-conditioned
+    #                               contours whose EMA only sags
+    #                               through break-even in the
+    #                               evidence-bulk tail (analytic
+    #                               D=12 Gaussian) the margin keeps
+    #                               the unbiased regime alive --
+    #                               switching there at exact
+    #                               break-even tripled the
+    #                               default-path lnZ bias pin for
+    #                               zero eval saving.
     switch_iters: int = 16        # candidate-phase segment length in
     #                               "auto" mode: the host re-checks the
     #                               acceptance EMA every this many
@@ -224,7 +261,8 @@ class NSConfig:
     #                               (alternate diff/gauss).  See
     #                               _slice_chains.
     fallback_repeats: int = 0     # slice steps per chain in the fill
-    #                               passes; 0 -> max(2, ndim // 2).
+    #                               passes; 0 -> ~ndim//3, floor 3
+    #                               (see resolved()).
     #                               The residual lnZ bias of the
     #                               batched fills is ~5.3/repeats nats
     #                               at D=12 when EVERY insert is a
@@ -251,12 +289,20 @@ class NSConfig:
     def resolved(self, ndim: int) -> "NSConfig":
         max_iter = self.max_iter if self.max_iter > 0 else 120 * self.nlive
         n_repeats = self.n_repeats if self.n_repeats > 0 else 2 * ndim
-        # decorrelation depth of the slice fills: ndim/2 whitened
-        # repeats per insert (the measured bias is ~5.3/repeats nats at
-        # D=12 in fully slice-dominated regimes -- see
-        # docs/limitations.md); floor of 2 for low dimensions
+        # decorrelation depth of the slice fills: ~ndim/3 whitened
+        # repeats per insert, floored at 3 (and never above ndim/2,
+        # which keeps very low dimensions at their old depth).  The
+        # depth was set empirically on the NH3 bench cube (D=12,
+        # slice-dominated): repeats=4 is statistically
+        # indistinguishable from repeats=6 run-to-run (median lnZ
+        # shift -0.35 nat, inside pure-RNG scatter) at 2/3 the eval
+        # cost, while repeats=3 crosses into measurable mass loss
+        # (median -0.7 nat, fatter mode-loss tail).  The forced
+        # all-slice ceiling is ~5.3/repeats nats biased HIGH (see
+        # docs/limitations.md); both regimes are pinned by the
+        # test_slice_fill_bias tests.
         fallback = self.fallback_repeats if self.fallback_repeats > 0 \
-            else max(2, ndim // 2)
+            else max(2, min(ndim // 2, max(3, ndim // 3)))
         if self.method == "slice":
             kill_k = 1
         elif self.kill_k > 0:
@@ -820,37 +866,61 @@ def _compute_bounds(u, zombie, act, act_np, cfg: NSConfig):
         # keep empty clusters where they were
         centers = jnp.where((cnt > 0)[..., None], new_c, centers)
 
-    # per-cluster moments IN CUBE SPACE from the final memberships
-    # (centers live in the whitened metric), shrunk toward the global
-    # covariance when the cluster is too small to estimate its own
-    mu_k = jnp.einsum("rlk,rld->rkd", wk, u) \
-        / jnp.maximum(cnt, 1.0)[..., None]
-    mu_k = jnp.where((cnt > 0)[..., None], mu_k, mean[:, None])
-    du_k = (u[:, :, None, :] - mu_k[:, None]) * wk[..., None] * act
-    cov_k = jnp.einsum("rlkd,rlke->rkde", du_k, du_k)
-    cov_k = cov_k / jnp.maximum(cnt, 1.0)[..., None, None]
-    lam = jnp.clip((D + 1.0 - cnt) / (D + 1.0), 0.0, 1.0)
-    cov_k = (
-        (1.0 - lam)[..., None, None] * cov_k
-        + lam[..., None, None] * cov[:, None]
-    )
-    # re-mask flat rows/cols (the blend re-introduces the global's
-    # unit flat diagonal), then pin them to 1
-    cov_k = cov_k * (act[:, None] * act[None, :])
-    cov_k = cov_k + jnp.diag(
-        jnp.where(act > 0, cfg.cov_reg, 1.0).astype(dtype)
-    )
-    chol_k = jnp.linalg.cholesky(cov_k)                 # [R,KC,D,D]
-    # radius covers every point assigned to the cluster, zombies
-    # included (threshold-shell coverage, as below for the global)
-    wr = (
-        assign[..., None] == jnp.arange(KC)[None, None, :]
-    ).astype(dtype)
-    du_rk = (u[:, :, None, :] - mu_k[:, None]) * wr[..., None] * act
-    dz_k = jax.scipy.linalg.solve_triangular(
-        chol_k, jnp.swapaxes(du_rk, 1, 2).swapaxes(2, 3), lower=True,
-    )                                                   # [R,KC,D,L]
-    rmax_k = jnp.sqrt(jnp.max(jnp.sum(dz_k**2, axis=2), axis=-1))
+    def cluster_geom(assign):
+        """Per-cluster bounding ellipsoids from an assignment.
+
+        Moments (IN CUBE SPACE -- centers live in the whitened metric)
+        come from the surviving members, shrunk toward the global
+        covariance when the cluster is too small to estimate its own;
+        the radius covers every assigned point, zombies included
+        (threshold-shell coverage, as for the global below).  Also
+        returns the squared Mahalanobis distance of EVERY point to
+        every cluster, which drives the refinement reassignment.
+        """
+        onehot = assign[..., None] == jnp.arange(KC)[None, None, :]
+        wk = (onehot & (~zombie)[..., None]).astype(dtype)  # [R,L,KC]
+        cnt = jnp.sum(wk, axis=1)                           # [R, KC]
+        mu_k = jnp.einsum("rlk,rld->rkd", wk, u) \
+            / jnp.maximum(cnt, 1.0)[..., None]
+        mu_k = jnp.where((cnt > 0)[..., None], mu_k, mean[:, None])
+        du_k = (u[:, :, None, :] - mu_k[:, None]) * wk[..., None] * act
+        cov_k = jnp.einsum("rlkd,rlke->rkde", du_k, du_k)
+        cov_k = cov_k / jnp.maximum(cnt, 1.0)[..., None, None]
+        lam = jnp.clip((D + 1.0 - cnt) / (D + 1.0), 0.0, 1.0)
+        cov_k = (
+            (1.0 - lam)[..., None, None] * cov_k
+            + lam[..., None, None] * cov[:, None]
+        )
+        # re-mask flat rows/cols (the blend re-introduces the global's
+        # unit flat diagonal), then pin them to 1
+        cov_k = cov_k * (act[:, None] * act[None, :])
+        cov_k = cov_k + jnp.diag(
+            jnp.where(act > 0, cfg.cov_reg, 1.0).astype(dtype)
+        )
+        chol_k = jnp.linalg.cholesky(cov_k)                 # [R,KC,D,D]
+        du_all = (u[:, :, None, :] - mu_k[:, None]) * act   # [R,L,KC,D]
+        dz_k = jax.scipy.linalg.solve_triangular(
+            chol_k, jnp.swapaxes(du_all, 1, 2).swapaxes(2, 3),
+            lower=True,
+        )                                                   # [R,KC,D,L]
+        d2 = jnp.swapaxes(jnp.sum(dz_k**2, axis=2), 1, 2)   # [R,L,KC]
+        rmax2 = jnp.max(d2 * onehot.astype(dtype), axis=1)  # [R, KC]
+        return cnt, mu_k, chol_k, d2, rmax2
+
+    cnt, mu_k, chol_k, d2, rmax2 = cluster_geom(assign)
+    for _ in range(max(0, cfg.km_refine)):
+        # MultiNest-style ellipsoid-set refinement (Feroz & Hobson
+        # 2008 sec. 5.2): reassign each point to the cluster whose
+        # bounding boundary it sits deepest inside (relative squared
+        # Mahalanobis distance), then refit.  k-means cells cut curved
+        # contours across their short axes; letting elongated
+        # ellipsoids claim the points they already cover is what
+        # actually shrinks the union volume.
+        score = d2 / jnp.maximum(rmax2, 1e-12)[:, None, :]
+        score = jnp.where((cnt > 0)[:, None, :], score, big)
+        assign = jnp.argmin(score, axis=-1)                 # [R, L]
+        cnt, mu_k, chol_k, d2, rmax2 = cluster_geom(assign)
+    rmax_k = jnp.sqrt(rmax2)
     d_act = float(act_np.sum())
     efr_mult = _efr_mult(cfg, d_act)
     rmax_k = jnp.maximum(rmax_k, 0.1) * (cfg.ell_fudge * efr_mult)
@@ -1796,7 +1866,16 @@ def run_nested(
     # slice switch is disabled
     auto = cfg.method == "auto" and not cfg.ceff
     mode = "slice" if cfg.method == "slice" else "cand"
-    acc_thresh = cfg.cand_min_acc if cfg.cand_min_acc > 0 else 0.12
+    # default switch point = 0.6x the break-even with the slice
+    # engine's actual per-death cost (see NSConfig.cand_min_acc):
+    # candidate inserts are tolerated up to ~1.7x the slice cost
+    # because they are independent draws while slice chains carry the
+    # correlated-insert lnZ bias (docs/limitations.md).  Switching at
+    # exact break-even (measured, analytic D=12 Gaussian) fires in
+    # the evidence-bulk tail of well-conditioned runs and triples the
+    # default-path bias for zero eval saving.
+    acc_thresh = cfg.cand_min_acc if cfg.cand_min_acc > 0 \
+        else 0.6 / (cfg.fallback_repeats * 2.6 + 0.6)
 
     state = _get_jit(loglike2, cfg, ndim, n_runs, dtype, "init")(key, data)
     state = apply_active(state)
