@@ -22,6 +22,17 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compile cache for the CPU test programs (separate from
+# the committed TPU cache in .jax_cache/): the suite is
+# compile-dominated on a cold machine (~14 min); warm reruns drop the
+# XLA compiles.  Gitignored -- CPU binaries are machine-local.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache_cpu"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
