@@ -82,6 +82,39 @@ def test_fit_batch_model_selection_gaussian():
 
 
 @pytest.mark.slow
+def test_three_component_ladder_recovery():
+    """ncomp=3 fits work end to end with the placement priors (D=9):
+    the ladder prefers 3 over 2 on 3-component truth and recovers the
+    ordered centroids (reference fits ncomp up to 4 in
+    experiments/varnoise.py:23-43; ResolvedPlacementPrior supports
+    n <= 10, core.pyx:369-434)."""
+    utrans = get_gaussian_priors(vsys=0.0, voff_span=16.0)
+    # well-separated 3-comp truth, high SNR so the ladder is decisive
+    params = np.array([-4.0, 0.5, 4.5, 0.7, 0.5, 0.9, 2.2, 1.6, 2.8])
+    spec, *_ = make_gauss_spec(params, noise=0.15, seed=4)
+    import dataclasses as dc
+    R = 4
+    spec_b = dc.replace(
+        spec,
+        data=jnp.broadcast_to(spec.data, (R,) + spec.data.shape),
+        noise=jnp.broadcast_to(spec.noise, (R,) + spec.noise.shape),
+    )
+    lnz = {}
+    for ncomp in (2, 3):
+        runner = GaussianRunner(spec_b, utrans, ncomp=ncomp)
+        res = fit_batch(random.key(20 + ncomp), runner, R,
+                        NSConfig(nlive=100, tol=1.0), segment_iters=250)
+        lnz[ncomp] = np.asarray(res.lnz)
+        if ncomp == 3:
+            bf = np.asarray(res.products.bestfit_params)
+            voff = np.sort(bf[:, :3], axis=1)
+            assert np.all(np.abs(
+                np.median(voff, axis=0) - [-4.0, 0.5, 4.5]
+            ) < 0.3), voff
+    assert np.all(lnz[3] - lnz[2] > 11.0), (lnz[3], lnz[2])
+
+
+@pytest.mark.slow
 def test_fit_single_ammonia_recovery():
     """2-transition 1-comp ammonia fit recovers truth parameters
     (the reference's canonical seeded test, main.py:1279-1294, with
