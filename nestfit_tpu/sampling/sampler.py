@@ -156,31 +156,36 @@ class NSConfig:
     #                               the segmented "auto" method retires
     #                               the candidate program and switches
     #                               (one-way) to the kill+slice
-    #                               program.  0 (default) -> 0.6x the
-    #                               break-even with the slice chain's
-    #                               actual cost, 0.6 /
-    #                               (fallback_repeats * 2.6 + 0.6)
-    #                               (measured NH3 cube: 2.6 consumed
-    #                               evals per slice step + ~0.6
-    #                               overhead/death): 0.071 at D=6,
-    #                               0.053 at D=12.  Candidate inserts
-    #                               are INDEPENDENT draws (no slice
-    #                               correlation bias), so they are
-    #                               kept up to ~1.7x the slice cost:
-    #                               on contours whose union
-    #                               acceptance genuinely collapses
-    #                               (NH3 placement priors, ~0.005)
-    #                               any threshold fires the rescue
-    #                               early, while on well-conditioned
-    #                               contours whose EMA only sags
-    #                               through break-even in the
-    #                               evidence-bulk tail (analytic
-    #                               D=12 Gaussian) the margin keeps
-    #                               the unbiased regime alive --
-    #                               switching there at exact
+    #                               program.  0 (default) -> margin /
+    #                               (fallback_repeats * 2.6 + 0.6),
+    #                               the break-even with the slice
+    #                               chain's measured cost (NH3 cube:
+    #                               2.6 consumed evals per slice step
+    #                               + ~0.6 overhead/death) scaled by
+    #                               a repeats-dependent margin set in
+    #                               run_nested: 1.0 at
+    #                               fallback_repeats <= 3 (0.119 at
+    #                               D=6) and 0.6 at deeper repeats
+    #                               (0.053 at D=12).  Candidate
+    #                               inserts are INDEPENDENT draws (no
+    #                               slice correlation bias), so at
+    #                               high D they are kept up to ~1.7x
+    #                               the slice cost: on contours whose
+    #                               union acceptance genuinely
+    #                               collapses (NH3 placement priors,
+    #                               ~0.005) any threshold fires the
+    #                               rescue early, while on
+    #                               well-conditioned contours whose
+    #                               EMA only sags through break-even
+    #                               in the evidence-bulk tail
+    #                               (analytic D=12 Gaussian) the
+    #                               margin keeps the unbiased regime
+    #                               alive -- switching there at exact
     #                               break-even tripled the
     #                               default-path lnZ bias pin for
-    #                               zero eval saving.
+    #                               zero eval saving.  At shallow
+    #                               repeats the exact threshold is
+    #                               measured safe (see run_nested).
     switch_iters: int = 16        # candidate-phase segment length in
     #                               "auto" mode: the host re-checks the
     #                               acceptance EMA every this many
@@ -916,7 +921,12 @@ def _compute_bounds(u, zombie, act, act_np, cfg: NSConfig):
         # contours across their short axes; letting elongated
         # ellipsoids claim the points they already cover is what
         # actually shrinks the union volume.
-        score = d2 / jnp.maximum(rmax2, 1e-12)[:, None, :]
+        # floor rmax2 at the sampling-radius floor (0.1, as applied
+        # to rmax_k below) so a degenerate singleton cluster -- whose
+        # member-derived rmax2 is ~0 -- scores with the ellipsoid it
+        # actually samples from and can absorb neighbors it already
+        # covers, instead of repelling every point
+        score = d2 / jnp.maximum(rmax2, 0.01)[:, None, :]
         score = jnp.where((cnt > 0)[:, None, :], score, big)
         assign = jnp.argmin(score, axis=-1)                 # [R, L]
         cnt, mu_k, chol_k, d2, rmax2 = cluster_geom(assign)
@@ -1537,10 +1547,11 @@ def ns_slice_fill(state: _State, loglike2, data, cfg: NSConfig) -> _State:
     their starts at finite repeats, which biases lnZ high by
     ~5.3/repeats nats at D=12 when EVERY insert is a slice fill
     (measured on the analytic Gaussian; pinned by the
-    test_slice_fill_bias tests).  The default ndim//2 repeats put the
-    worst-case systematic at ~1 nat -- MultiNest-class (ellipsoidal
-    rejection at efr=0.3 carries comparable error) and far inside the
-    11-nat model-selection gates the application uses -- and the
+    test_slice_fill_bias tests).  The default ~ndim//3 repeats
+    (floor 3; 4 at D=12) put the worst-case systematic at ~1.3-1.5
+    nats -- MultiNest-class (ellipsoidal rejection at efr=0.3 carries
+    comparable error) and far inside the 11-nat model-selection gates
+    the application uses -- and the
     candidate phase's independent inserts dilute it well below that in
     practice; raise ``fallback_repeats`` further for precision
     evidence work (see docs/limitations.md for the measured curve).

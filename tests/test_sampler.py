@@ -219,8 +219,8 @@ def test_slice_fill_bias_default_path():
     Gaussian.  At default settings the candidate phase supplies
     independent inserts (acceptance stays above ``cand_min_acc``
     on ellipsoid-friendly contours), and slice fills carry the
-    ndim//2-repeat decorrelation depth, so the systematic stays
-    small."""
+    default ~ndim//3-repeat decorrelation depth (4 at D=12), so the
+    systematic stays small."""
     ndim, sigma = 12, 0.08
     R = 12
     ll = gaussian_loglike(sigma)
@@ -243,8 +243,9 @@ def test_slice_fill_bias_forced_ceiling():
     """Regression ceiling for the PURE kill+slice regime at D=12:
     with every mid-run insert coming from batched slice chains
     (``cand_min_acc=0.9`` forces the switch right after start-up), the
-    correlated-insert bias at the default ndim//2 repeats is ~+1.0
-    nat (measured curve ~5.3/repeats; docs/limitations.md).  This pin
+    correlated-insert bias at the default ~ndim//3 repeats (4 at
+    D=12) is ~+1.3-1.5 nats (measured curve ~5.3/repeats;
+    docs/limitations.md).  This pin
     keeps the regime's documented accuracy class from silently
     degrading -- if this fails high, chain mixing regressed; if a
     change makes it much lower, update docs/limitations.md and
