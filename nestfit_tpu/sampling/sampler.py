@@ -257,7 +257,6 @@ class NSConfig:
     #                               regime switch is disabled (ceff
     #                               keeps rejection sampling alive by
     #                               construction)
-    ell_cands: int = 0            # legacy alias: overrides cand_factor*kill_k
     dir_mode: str = "mix"         # slice direction set: "gauss"
     #                               (isotropic whitened), "diff"
     #                               (random survivor differences --
@@ -306,8 +305,16 @@ class NSConfig:
         # all-slice ceiling is ~5.3/repeats nats biased HIGH (see
         # docs/limitations.md); both regimes are pinned by the
         # test_slice_fill_bias tests.
-        fallback = self.fallback_repeats if self.fallback_repeats > 0 \
-            else max(2, min(ndim // 2, max(3, ndim // 3)))
+        if self.fallback_repeats > 0:
+            fallback = self.fallback_repeats
+        else:
+            fallback = max(2, min(ndim // 2, max(3, ndim // 3)))
+            # repeats=3 was only measured safe at D=6; at D=12 it
+            # crosses into real mass loss, and its safety at D=8-11
+            # was never measured -- floor those dimensions at 4 (the
+            # measured-safe depth at D=12) rather than assert it
+            if ndim >= 8:
+                fallback = max(fallback, 4)
         if self.method == "slice":
             kill_k = 1
         elif self.kill_k > 0:
@@ -325,8 +332,6 @@ class NSConfig:
 
     def n_cand(self) -> int:
         """Proposal candidates per iteration (requires resolved cfg)."""
-        if self.ell_cands > 0:
-            return self.ell_cands
         return max(1, self.cand_factor * self.kill_k)
 
 
@@ -538,6 +543,10 @@ def _shrink_slice(loglike2, data, shift, key, x0, lnl0, dirv, t_lo0,
     """
     dtype = x0.dtype
     n_rounds = (cfg.max_contract + 1) // 2
+    # odd budgets: the final round's speculative second proposal would
+    # exceed max_contract by one; mask it so the consumed-call budget
+    # is exact (the even default keeps this branch out of the trace)
+    odd_budget = cfg.max_contract % 2 == 1
 
     def sh_cond(carry):
         j, _key, _t_lo, _t_hi, _x, _lnl, _t_acc, acc, _ncall = carry
@@ -546,6 +555,7 @@ def _shrink_slice(loglike2, data, shift, key, x0, lnl0, dirv, t_lo0,
     def sh_body(carry):
         j, key, t_lo, t_hi, x, lnl, t_acc, acc, ncall = carry
         key, kt1, kt2 = random.split(key, 3)
+        use2 = (2 * (j + 1) <= cfg.max_contract) if odd_budget else True
         t1 = t_lo + (t_hi - t_lo) * random.uniform(
             kt1, lnl_star.shape, dtype=dtype
         )
@@ -573,6 +583,8 @@ def _shrink_slice(loglike2, data, shift, key, x0, lnl0, dirv, t_lo0,
         ).reshape((2,) + lnl_star.shape) - shift
         ok1 = lnlp[0] > lnl_star
         ok2 = lnlp[1] > lnl_star
+        if odd_budget:
+            ok2 = ok2 & use2
         # sequential accept order: t1 first, else t2
         new1 = ok1 & ~acc
         new2 = (~ok1) & ok2 & ~acc
@@ -588,13 +600,21 @@ def _shrink_slice(loglike2, data, shift, key, x0, lnl0, dirv, t_lo0,
         # that per-run sense.  t2's evaluation is consumed only when
         # t1 was rejected (sequential shrinkage would have made it).
         live = ~(done | acc)
-        ncall = ncall + jnp.where(live, 1, 0) \
-            + jnp.where(live & ~ok1, 1, 0)
+        nc2 = live & ~ok1
+        if odd_budget:
+            nc2 = nc2 & use2
+        ncall = ncall + jnp.where(live, 1, 0) + jnp.where(nc2, 1, 0)
         acc = acc | ok1 | ok2
-        # both rejected: apply t1's shrink, then t2's
+        # both rejected: apply t1's shrink, then t2's (t2's only when
+        # its evaluation was within the budget)
         miss = ~acc
-        t_lo = jnp.where(miss, jnp.where(t2 < 0, t2, t_lo1), t_lo)
-        t_hi = jnp.where(miss, jnp.where(t2 >= 0, t2, t_hi1), t_hi)
+        t_lo2 = jnp.where(t2 < 0, t2, t_lo1)
+        t_hi2 = jnp.where(t2 >= 0, t2, t_hi1)
+        if odd_budget:
+            t_lo2 = jnp.where(use2, t_lo2, t_lo1)
+            t_hi2 = jnp.where(use2, t_hi2, t_hi1)
+        t_lo = jnp.where(miss, t_lo2, t_lo)
+        t_hi = jnp.where(miss, t_hi2, t_hi)
         return j + 1, key, t_lo, t_hi, x, lnl, t_acc, acc, ncall
 
     acc0 = jnp.zeros_like(lnl_star, dtype=bool)
@@ -1799,6 +1819,22 @@ def _scatter_rows(acc, cur, idx, n_acc):
     return jax.tree_util.tree_map(sc, acc, cur)
 
 
+def _strip_bounds(state: _State) -> _State:
+    """Drop the cached bounding geometry from a state.
+
+    The bounds tuple's arity differs between regimes (7-tuple candidate
+    geometry vs the slim 3-tuple), so carrying it through the host-side
+    compaction accumulator would tree_map tuples of different arity
+    (ValueError) whenever a bank and a regime switch interleave.  No
+    consumer needs it across programs: the candidate segment refreshes
+    bounds on its ``bound_every`` cadence, the slice segment recomputes
+    them every iteration, and finalize never reads them -- stripping
+    also gives ``ns_finalize`` a single trace signature regardless of
+    which regime a run ended in (one compile instead of two).
+    """
+    return dataclasses.replace(state, bounds=())
+
+
 def run_nested(
     key,
     loglike: Callable,
@@ -1932,18 +1968,28 @@ def run_nested(
                 # bank the current rows into the full-size
                 # accumulator, then re-gather just the active runs
                 # (padded with copies of the first active row, marked
-                # done)
+                # done).  The accumulator holds NO bounds (arity
+                # differs between regimes; see _strip_bounds) -- the
+                # compacted batch's bounds are gathered from the
+                # current state's rows instead.
                 if acc is None:
-                    acc = state
+                    acc = _strip_bounds(state)
                 else:
-                    acc = _scatter_rows(acc, state, orig_idx, n_runs)
+                    acc = _scatter_rows(acc, _strip_bounds(state),
+                                        orig_idx, n_runs)
                 active_orig = orig_idx[active_rows]
                 pad = np.full(tgt - n_active, active_orig[0],
                               dtype=np.int64)
                 sel = np.concatenate([active_orig, pad])
+                sel_cur = np.concatenate([
+                    active_rows,
+                    np.full(len(pad), active_rows[0], dtype=np.int64),
+                ])
+                new_bounds = _gather_rows(state.bounds, sel_cur, r_cur)
                 state = _gather_rows(acc, sel, n_runs)
                 state = dataclasses.replace(
                     state,
+                    bounds=new_bounds,
                     done=jnp.asarray(np.concatenate(
                         [np.zeros(n_active, bool),
                          np.ones(len(pad), bool)]
@@ -2018,5 +2064,7 @@ def run_nested(
                       flush=True)
 
     if acc is not None:
-        state = _scatter_rows(acc, state, orig_idx, n_runs)
-    return _get_jit(loglike2, cfg, ndim, n_runs, dtype, "fin")(state)
+        state = _scatter_rows(acc, _strip_bounds(state), orig_idx, n_runs)
+    return _get_jit(loglike2, cfg, ndim, n_runs, dtype, "fin")(
+        _strip_bounds(state)
+    )

@@ -212,6 +212,43 @@ def test_segmented_auto_agrees():
     assert abs(lnz.mean() - lnz_true) < 2 * err.mean() / np.sqrt(8) + 0.15
 
 
+def test_compaction_bank_survives_regime_switch():
+    """Straggler compaction banking in the candidate regime followed by
+    the auto switch to the slice program must not crash the final
+    re-scatter (the accumulator and the live state would otherwise
+    carry bounds tuples of different arity -- ADVICE r2).
+
+    Orchestrated deterministically: 56 of 64 runs see a flat (plateau)
+    likelihood and finish on the first iteration, so compaction banks
+    the accumulator while the mode is still "cand" (cand_min_acc = 2.0
+    guarantees the switch fires at the first post-floor check, which
+    with bound_every=4 is AFTER the first compaction at i=4).
+    """
+    ndim, sigma = 4, 0.05
+    R = 64
+    flag = jnp.asarray(np.arange(R) < 8, dtype=jnp.float64)
+    gl = gaussian_loglike(sigma)
+
+    def loglike(u, d):
+        return jnp.where(d > 0, gl(u), 0.0)
+
+    cfg = NSConfig(nlive=50, tol=0.1, min_compact=8, bound_every=4,
+                   cand_min_acc=2.0)
+    res = run_nested(random.key(3), loglike, ndim, R, cfg,
+                     dtype=jnp.float64, data=flag, segment_iters=4)
+    assert np.all(np.asarray(res.converged))
+    lnz = np.asarray(res.lnz)
+    err = np.maximum(np.asarray(res.lnz_err), 0.05)
+    lnz_true = 0.5 * ndim * np.log(2 * np.pi * sigma**2)
+    # the 8 Gaussian runs recover the analytic evidence through the
+    # bank -> switch -> compact -> scatter sequence
+    assert np.all(np.abs(lnz[:8] - lnz_true) < 4 * err[:8]), (
+        lnz[:8], lnz_true, err[:8]
+    )
+    # plateau runs: evidence is exactly the prior volume (lnZ = 0)
+    assert np.all(np.abs(lnz[8:]) < 1e-6)
+
+
 @pytest.mark.slow
 def test_slice_fill_bias_default_path():
     """Pin the lnZ bias of the DEFAULT segmented configuration at
