@@ -123,47 +123,70 @@ def main():
     # ``data`` argument so the compiled sampler is reused
     retry_runners = {n: make_runner(n, np.arange(r_retry)) for n in (1, 2)}
 
+    def retry_cfg(n, attempt):
+        """Attempt 0: fresh key only; attempt 1+: escalate to the
+        deep-decorrelation slice depth (fallback_repeats = 2*ndim, the
+        unbiased configuration per docs/limitations.md) -- mode loss
+        is correlated live-set drift, which deeper per-insert
+        decorrelation directly attacks.  Mirrors
+        CubeFitter._refit_mode_losses."""
+        if attempt == 0:
+            return cfg
+        return dataclasses.replace(
+            cfg, fallback_repeats=2 * retry_runners[n].ndim)
+
+    mode_loss_remaining = {}
+
     def retry_mode_losses(k, n, r, lnz, floor):
         """Nested-model consistency retry (production-path behavior,
         CubeFitter._refit_mode_losses): re-fit runs whose lnZ fell
         more than ``mode_loss_margin`` nats below the previous rung
         (a violation of the nested-model evidence floor => the run
-        lost the dominant mode), keep the consistent rerun.  Returns
-        (fit, lnz, extra_evals) with the discarded runs' likelihood
-        calls counted so evals/pixel stays honest."""
+        lost the dominant mode), keep the consistent rerun; a second
+        attempt escalates (see retry_cfg).  Returns (fit, lnz,
+        extra_evals) with the discarded runs' likelihood calls counted
+        so evals/pixel stays honest."""
         from nestfit_tpu.sampling.fit import merge_fit_rows
 
-        bad = np.flatnonzero(lnz < floor - mode_loss_margin)
-        if bad.size == 0:
-            return r, lnz, 0
-        bad = bad[:r_retry]
-        pad = np.concatenate([
-            bad, np.full(r_retry - bad.size, bad[0]),
-        ])
-        dsets = ((xa11, d11, 1), (xa22, d22, 2))
-        data_tree = tuple(
-            (jnp.asarray(d[pad], dtype=jnp.float32),
-             jnp.full((r_retry,), noise, dtype=jnp.float32))
-            for _x, d, _t in dsets
-        )
-        r2 = fit_batch(k, retry_runners[n], r_retry, cfg,
-                       segment_iters=seg, data=data_tree,
-                       active=np.arange(r_retry) < bad.size)
-        lnz_r = np.asarray(r2.lnz)[: bad.size]
-        better = lnz_r > lnz[bad]
-        nc_old = np.asarray(r.ns.ncall, dtype=np.int64)
-        nc_new = np.asarray(r2.ns.ncall, dtype=np.int64)[: bad.size]
-        # discarded runs' evals: the replaced originals plus the
-        # unsuccessful retries (whichever record is dropped)
-        extra = int(nc_old[bad[better]].sum() + nc_new[~better].sum())
-        if better.any():
-            dst = bad[better]
-            src = np.flatnonzero(better)
-            r = merge_fit_rows(r, r2, dst, src, n_pix, r_retry)
-            lnz = lnz.copy()
-            lnz[dst] = lnz_r[better]
-        log(f"bench: mode-loss retry ncomp={n}: {bad.size} runs below "
-            f"the nested-model floor, {int(better.sum())} recovered")
+        extra = 0
+        for attempt in range(2):
+            bad = np.flatnonzero(lnz < floor - mode_loss_margin)
+            if bad.size == 0:
+                break
+            bad = bad[:r_retry]
+            pad = np.concatenate([
+                bad, np.full(r_retry - bad.size, bad[0]),
+            ])
+            dsets = ((xa11, d11, 1), (xa22, d22, 2))
+            data_tree = tuple(
+                (jnp.asarray(d[pad], dtype=jnp.float32),
+                 jnp.full((r_retry,), noise, dtype=jnp.float32))
+                for _x, d, _t in dsets
+            )
+            k, sub = random.split(k)
+            r2 = fit_batch(sub, retry_runners[n], r_retry,
+                           retry_cfg(n, attempt),
+                           segment_iters=seg, data=data_tree,
+                           active=np.arange(r_retry) < bad.size)
+            lnz_r = np.asarray(r2.lnz)[: bad.size]
+            better = lnz_r > lnz[bad]
+            nc_old = np.asarray(r.ns.ncall, dtype=np.int64)
+            nc_new = np.asarray(r2.ns.ncall, dtype=np.int64)[: bad.size]
+            # discarded runs' evals: the replaced originals plus the
+            # unsuccessful retries (whichever record is dropped)
+            extra += int(nc_old[bad[better]].sum() + nc_new[~better].sum())
+            if better.any():
+                dst = bad[better]
+                src = np.flatnonzero(better)
+                r = merge_fit_rows(r, r2, dst, src, n_pix, r_retry)
+                lnz = lnz.copy()
+                lnz[dst] = lnz_r[better]
+            log(f"bench: mode-loss retry {attempt + 1} ncomp={n}: "
+                f"{bad.size} runs below the nested-model floor, "
+                f"{int(better.sum())} recovered"
+                + (" (escalated repeats)" if attempt else ""))
+        still = int(np.sum(lnz < floor - mode_loss_margin))
+        mode_loss_remaining[n] = max(mode_loss_remaining.get(n, 0), still)
         return r, lnz, extra
 
     def ladder(key, tag="", reserve=None):
@@ -176,6 +199,7 @@ def main():
         results, walls = {}, {}
         extra_evals = {}
         prev_lnz = None
+        mode_loss_remaining.clear()
         for n, k in ((1, k1), (2, k2)):
             if reserve is not None:
                 est = 2.5 * max(walls.values()) if walls else 75.0
@@ -201,11 +225,40 @@ def main():
             results[n] = r
         return results, walls, sum(extra_evals.values())
 
-    log("bench: compiling + warmup ...")
+    # ---- AOT parallel precompile of every program the ladder will
+    # dispatch (sampling/aot.py).  Serial compile discovery through a
+    # remote-tunneled worker paid the SUM of 25-600s program compiles
+    # (~1,000s of the budget in the r1/r2 driver runs); concurrent
+    # compiles pay ~the max instead, and the per-program
+    # persistent-cache hit/miss counts make a slow driver warmup
+    # diagnosable from the JSON.
+    from nestfit_tpu.sampling import aot
+
+    log("bench: AOT precompile (parallel) ...")
     t0 = time.perf_counter()
+    plan = []
+    for n in (1, 2):
+        plan += aot.build_plan(runners[n], n_pix, cfg, n_post=512)
+        plan += aot.build_plan(retry_runners[n], r_retry, cfg,
+                               n_post=512, r_classes=[],
+                               label=f"retry{n}")
+        # escalated second-attempt retry programs (deep repeats)
+        plan += aot.build_plan(retry_runners[n], r_retry,
+                               retry_cfg(n, 1), n_post=512,
+                               r_classes=[], label=f"retry{n}e")
+    pre = aot.compile_plan(plan, max_workers=12, verbose=log)
+    pre.pop("programs", None)
+    log(f"bench: precompile {pre['wall_s']:.0f}s "
+        f"({pre['n_programs']} programs, "
+        f"{pre['cache_hits']} cache hits, "
+        f"{pre['cache_misses']} misses, "
+        f"{pre['n_deduped']} hlo-deduped, "
+        f"{pre['n_errors']} errors)")
+
+    log("bench: warmup ...")
     results, _, extra_nc = ladder(random.key(0), tag="warmup")
     t_warm = time.perf_counter() - t0
-    log(f"bench: warmup (incl. compile) {t_warm:.1f}s "
+    log(f"bench: warmup incl. precompile {t_warm:.1f}s "
         f"(budget left {remaining():.0f}s)")
 
     # Clean timed pass whenever the budget plausibly holds it.  The
@@ -248,15 +301,19 @@ def main():
         lnz1 - null < 11.0, 0, np.where(lnz2 - lnz1 < 11.0, 1, 2)
     )
     conv = np.asarray(r1.ns.converged) & np.asarray(r2.ns.converged)
-    ncall = np.asarray(r1.ns.ncall, dtype=np.int64) + np.asarray(
-        r2.ns.ncall, dtype=np.int64
-    ) + extra_nc // n_pix
+    # retry-waste correction enters as a float at the mean (the old
+    # ``extra_nc // n_pix`` array add floored it to the pixel grain)
+    evals_px = float(
+        np.asarray(r1.ns.ncall, dtype=np.int64).mean()
+        + np.asarray(r2.ns.ncall, dtype=np.int64).mean()
+        + extra_nc / n_pix
+    )
     fits_per_sec = n_pix / elapsed
     log(
         f"bench: {n_pix} ladder fits in {elapsed:.2f}s -> "
         f"{fits_per_sec:.1f} fits/s/chip; "
         f"converged={conv.mean()*100:.1f}% "
-        f"likelihood evals/pixel={ncall.mean():.0f} "
+        f"likelihood evals/pixel={evals_px:.0f} "
         f"nbest histogram={np.bincount(nbest, minlength=3).tolist()}"
     )
     log(f"bench: mean lnZ1-null={np.mean(lnz1 - null):.1f} "
@@ -274,6 +331,11 @@ def main():
         "converged_frac": float(conv.mean()),
         "nbest_ge1_frac": frac_ge1,
         "nbest_eq2_frac": frac_eq2,
+        # pixels still violating the nested-model evidence floor after
+        # the escalated retries (provably inconsistent evidence)
+        "mode_loss_remaining": {
+            str(k): int(v) for k, v in sorted(mode_loss_remaining.items())
+        },
     }
     ok_sel = frac_ge1 >= 0.90 and frac_eq2 >= 0.30 and conv.mean() >= 0.98
     log(f"bench: selection gate {'PASS' if ok_sel else 'FAIL'} "
@@ -310,8 +372,12 @@ def main():
         # samples (1 pixel -> n=2 records) a single
         # baseline-undersampled record must not zero the headline, so
         # one outlier is always tolerated
+        # loose absolute cap on top of the count allowance: tolerated
+        # outliers must still be baseline-undersampling-sized (tens of
+        # nats / quoted sigma ~0.5), not arbitrarily wrong
         ok_agree = bool(np.median(np.abs(dz)) < 6.0 and
-                        n_out <= max(1, len(dz) // 3))
+                        n_out <= max(1, len(dz) // 3) and
+                        np.max(np.abs(dz)) < 50.0)
         log(f"bench: lnZ-agreement gate {'PASS' if ok_agree else 'FAIL'} "
             f"(|dz|/sigma median {np.median(np.abs(dz)):.2f}, "
             f"frac>10 {frac_out:.2f}, max {np.max(np.abs(dz)):.2f}, "
@@ -319,6 +385,26 @@ def main():
         gates["lnz_dz_sigma_median"] = float(np.median(np.abs(dz)))
         gates["lnz_dz_sigma_max"] = float(np.max(np.abs(dz)))
         gates["lnz_dz_frac_gt10"] = frac_out
+
+    # ---- accuracy gate 3: committed nlive=400 native-truth artifact
+    # (wide lnZ agreement + independent model-selection agreement).
+    nt = native_truth_comparison(d11, d22, lnz1, lnz2, null, nbest)
+    if nt:
+        gates.update(nt)
+        # thresholds documented in validation/compute_native_truth.py:
+        # median within a few sigma of a baseline with a MEASURED seed
+        # scatter; selection agreement floor 0.7 leaves room for
+        # genuine boundary pixels where the 11-nat rule flips on
+        # seed-level evidence scatter in either engine
+        if nt["native400_n_records"] >= 16:
+            ok_native = (nt["native400_dz_sigma_median"] < 4.0
+                         and nt["native400_nbest_agree_frac"] >= 0.7)
+            log(f"bench: native-truth gate "
+                f"{'PASS' if ok_native else 'FAIL'}")
+            ok_agree = ok_agree and ok_native
+        else:
+            log("bench: native-truth artifact too small to gate "
+                f"(n={nt['native400_n_records']})")
 
     value = round(fits_per_sec, 3)
     if not (ok_sel and ok_agree):
@@ -334,9 +420,103 @@ def main():
         "vs_baseline": round(value / cpu_rate, 2),
         "timed_clean": bool(timed_clean),
         "warmup_s": round(t_warm, 1),
-        "evals_per_pixel": int(ncall.mean()),
+        "precompile": pre,
+        "evals_per_pixel": int(evals_px),
         "gates": gates,
     }
+
+
+def native_truth_comparison(d11, d22, lnz1, lnz2, null, nbest):
+    """Compare against the committed nlive=400 sequential-engine truth
+    artifact (validation/native_truth_seed5.json, produced by
+    validation/compute_native_truth.py).
+
+    Two independent checks the in-budget baseline sample cannot give
+    (VERDICT r2 items 2/3):
+
+    * a wide lnZ-agreement sample against a *less undersampled*
+      baseline (nlive=400: 4x the live points of the in-budget
+      nlive=100 comparison), with the baseline's own seed-to-seed
+      scatter measured from its multi-seed pixels and folded into the
+      per-record sigma;
+    * model-SELECTION agreement: the artifact's lnz1/lnz2 put through
+      the same Bayes-factor ladder rule (thresh 11, reference
+      main.py:448-472) vs this sampler's nbest on the same pixels.
+
+    Returns a gates sub-dict (empty when the artifact is absent or
+    belongs to a different cube).
+    """
+    import hashlib
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "validation", "native_truth_seed5.json")
+    try:
+        with open(path) as fh:
+            art = json.load(fh)
+    except Exception:
+        return {}
+    h = hashlib.sha256()
+    h.update(np.ascontiguousarray(d11, dtype=np.float32).tobytes())
+    h.update(np.ascontiguousarray(d22, dtype=np.float32).tobytes())
+    if art.get("cube_checksum") != h.hexdigest()[:16]:
+        log("bench: native-truth artifact is for a different cube; "
+            "skipping")
+        return {}
+    recs = art.get("records", {})
+    if not recs:
+        return {}
+
+    # measured seed-to-seed scatter of the native engine, pooled over
+    # its multi-seed pixels (the baseline-error model: quoted
+    # sqrt(H/nlive) errors understate run-to-run scatter on multimodal
+    # rungs)
+    scat = {1: [], 2: []}
+    for rec in recs.values():
+        seeds = list(rec["seeds"].values())
+        if len(seeds) >= 2:
+            for n in (1, 2):
+                v = [s[f"lnz{n}"] for s in seeds]
+                scat[n].append(np.std(v, ddof=1))
+    s_model = {n: float(np.median(scat[n])) if scat[n] else 0.0
+               for n in (1, 2)}
+
+    dz, sel_pairs, dz21 = [], [], []
+    for key, rec in recs.items():
+        i = int(key)
+        if i >= lnz1.shape[0]:
+            continue
+        seeds = list(rec["seeds"].values())
+        nat = {n: float(np.median([s[f"lnz{n}"] for s in seeds]))
+               for n in (1, 2)}
+        nat_err = {n: float(np.median([s[f"lnz{n}_err"] for s in seeds]))
+                   for n in (1, 2)}
+        for n, tpu in ((1, lnz1), (2, lnz2)):
+            sig = float(np.sqrt(nat_err[n] ** 2 + s_model[n] ** 2))
+            sig = max(sig, 0.3)
+            dz.append((float(tpu[i]) - nat[n]) / sig)
+        nat_nbest = 0 if nat[1] - null[i] < 11.0 else (
+            1 if nat[2] - nat[1] < 11.0 else 2)
+        sel_pairs.append((int(nbest[i]), nat_nbest))
+        dz21.append(float(lnz2[i] - lnz1[i]) - (nat[2] - nat[1]))
+
+    dz = np.asarray(dz)
+    agree = np.mean([a == b for a, b in sel_pairs])
+    out = {
+        "native400_n_records": int(dz.size),
+        "native400_dz_sigma_median": float(np.median(np.abs(dz))),
+        "native400_dz_sigma_max": float(np.max(np.abs(dz))),
+        "native400_seed_scatter_lnz1": round(s_model[1], 3),
+        "native400_seed_scatter_lnz2": round(s_model[2], 3),
+        "native400_nbest_agree_frac": float(agree),
+        "native400_n_sel": len(sel_pairs),
+        "native400_dz21_median": float(np.median(dz21)),
+    }
+    log(f"bench: native nlive=400 truth: n={dz.size} records, "
+        f"|dz|/sigma median {out['native400_dz_sigma_median']:.2f} "
+        f"max {out['native400_dz_sigma_max']:.2f}; "
+        f"nbest agreement {agree:.2f} on {len(sel_pairs)} px "
+        f"(median d(lnZ2-lnZ1) {out['native400_dz21_median']:+.2f})")
+    return out
 
 
 def measure_cpu_baseline(xa11, d11, xa22, d22, noise, nlive, rung1, rung2,

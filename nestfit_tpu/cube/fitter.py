@@ -77,7 +77,7 @@ class CubeFitter:
                  nlive_snr_fact=5, batch_size=1024, n_post=512,
                  nlive_buckets=4, segment_iters=256, mesh=None,
                  max_retries=1, mode_loss_margin=8.0,
-                 mode_loss_retries=1):
+                 mode_loss_retries=2):
         self.stack = stack
         self.utrans = utrans
         self.runner_cls = runner_cls
@@ -320,18 +320,33 @@ class CubeFitter:
         included).  Conditioning the choice on an objective constraint
         violation does not bias lnZ the way unconditional
         max-of-restarts would.
+
+        Retries after the first ESCALATE: a fresh key alone recovers
+        ~70% of mode losses (measured, bench cube), so the second and
+        later attempts run the deep-decorrelation configuration
+        ``fallback_repeats = 2 * ndim`` (the unbiased slice depth per
+        docs/limitations.md) -- mode loss is correlated live-set
+        drift, which deeper per-insert decorrelation directly
+        attacks.  The escalated config changes no array shape, so
+        whole-row merging stays valid.
         """
+        import dataclasses
+
         from nestfit_tpu.sampling.fit import merge_fit_rows
 
         n = cur_ix.size
-        for _ in range(self.mode_loss_retries):
+        for attempt in range(self.mode_loss_retries):
             bad = np.flatnonzero(lnz < prev - self.mode_loss_margin)
             if bad.size == 0:
                 break
+            cfg_a = cfg if attempt == 0 else dataclasses.replace(
+                cfg, fallback_repeats=2 * self.utrans.n_param * ncomp
+            )
             log.warning(
-                "mode-loss retry: %d/%d runs at ncomp=%d fell > %.0f "
-                "nats below the previous rung; re-fitting",
-                bad.size, n, ncomp, self.mode_loss_margin,
+                "mode-loss retry %d: %d/%d runs at ncomp=%d fell > "
+                "%.0f nats below the previous rung; re-fitting%s",
+                attempt + 1, bad.size, n, ncomp, self.mode_loss_margin,
+                " (escalated repeats)" if attempt else "",
             )
             r_r = self._pad_quantum(bad.size)
             pad_ix = np.concatenate([
@@ -345,7 +360,7 @@ class CubeFitter:
             template = self._get_template_runner(ncomp, r_r, d_r, n_r)
             data_tree = self._shard_batch(tuple(zip(d_r, n_r)))
             fit_r = fit_batch(
-                sub, template, r_r, cfg, n_post=self.n_post,
+                sub, template, r_r, cfg_a, n_post=self.n_post,
                 segment_iters=self.segment_iters, data=data_tree,
                 active=np.arange(r_r) < bad.size,
             )

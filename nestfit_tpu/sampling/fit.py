@@ -57,6 +57,10 @@ class FitResult:
 # -> compile reuse across pixel batches with fresh data)
 _LOGLIKE_CACHE = {}
 _FINALIZE_CACHE = {}
+# AOT-compiled finalize executables installed by sampling.aot, keyed
+# (id(runner), n_post, dtype name, n_runs); consulted by fit_batch
+# with the jit path as mismatch fallback
+_FINALIZE_AOT = {}
 
 
 def _loglike2_for(runner: Runner, dtype):
@@ -134,9 +138,17 @@ def fit_batch(
             k_ns, loglike2, runner.ndim, n_runs, config, dtype=dtype,
             data=data, segment_iters=segment_iters, active=active,
         )
-        products, null_lnz, ics = _finalize_for(runner, n_post, dtype)(
-            ns, data, k_post
-        )
+        fin = _finalize_for(runner, n_post, dtype)
+        fkey = (id(runner), n_post, jnp.dtype(dtype).name, n_runs)
+        aot = _FINALIZE_AOT.get(fkey)
+        if aot is not None:
+            from nestfit_tpu.sampling.sampler import _AotDispatch
+
+            if not isinstance(aot, _AotDispatch):
+                aot = _AotDispatch(aot[0], aot[1], fin)
+                _FINALIZE_AOT[fkey] = aot
+            fin = aot
+        products, null_lnz, ics = fin(ns, data, k_post)
     else:
         assert data is None, (
             "data substitution requires segment_iters > 0; in traced "

@@ -335,6 +335,7 @@ def posterior_modes(
     max_modes: int = 6,
     n_iter: int = 12,
     merge_fact: float = 2.0,
+    ztol: float = None,
 ) -> ModeProducts:
     """Decompose each run's posterior into isolated modes and report
     per-mode local evidences and statistics.
@@ -345,6 +346,14 @@ def posterior_modes(
     requirement).  Batched over runs and jittable; cost is one
     O(N * K) pass over the weighted samples, off the sampling hot
     path.
+
+    ``ztol`` maps MultiNest's ``Ztol`` knob (reference
+    core.pyx:756-757: "null log-evidence" floor -- modes whose local
+    evidence falls below it are not reported): mode slots with
+    ``mode_lnz < ztol`` are masked from the report (lnz -> -inf,
+    frac -> 0, members -> -1, n_modes decremented).  ``None`` (the
+    default, like the reference pipeline which never sets it) reports
+    every mode.
     """
     u_all = jnp.concatenate([result.dead_u, result.live_u], axis=1)
     lnl_all = jnp.concatenate([result.dead_lnl, result.live_lnl], axis=1)
@@ -358,10 +367,26 @@ def posterior_modes(
             u, th, lp, lz, max_modes, n_iter, merge_fact
         )
     )(u_all, theta_all, lnp, result.lnz)
-    return ModeProducts(
+    mp = ModeProducts(
         n_modes=out[0], mode_lnz=out[1], mode_mean=out[2],
         mode_sigma=out[3], mode_map=out[4], mode_frac=out[5],
         membership=out[6],
+    )
+    if ztol is None:
+        return mp
+    keep = mp.mode_lnz >= ztol                          # [R, K]
+    neg = jnp.asarray(-jnp.inf, dtype=mp.mode_lnz.dtype)
+    keep_m = jnp.take_along_axis(
+        keep, jnp.clip(mp.membership, 0, None), axis=1
+    )                                                    # [R, N]
+    return dataclasses.replace(
+        mp,
+        n_modes=jnp.sum(keep, axis=1).astype(mp.n_modes.dtype),
+        mode_lnz=jnp.where(keep, mp.mode_lnz, neg),
+        mode_frac=jnp.where(keep, mp.mode_frac, 0.0),
+        membership=jnp.where(
+            (mp.membership >= 0) & keep_m, mp.membership, -1
+        ),
     )
 
 

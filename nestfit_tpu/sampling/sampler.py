@@ -276,6 +276,17 @@ class NSConfig:
     #                               practice) -- pinned by
     #                               test_slice_fill_bias tests; see
     #                               docs/limitations.md
+    log_zero: float = -1e90       # MultiNest logZero (reference
+    #                               core.pyx:764-766): likelihoods at
+    #                               or below this value mark excluded
+    #                               regions -- they are floored to the
+    #                               sampler's log-zero sentinel so no
+    #                               such point can ever be accepted or
+    #                               contribute evidence.  The default
+    #                               (like MultiNest's -1e90) is below
+    #                               any representable f32 likelihood,
+    #                               i.e. disabled, and adds no op to
+    #                               the traced program
     init_chunk: int = 32          # live-point chunk for the init evals
     min_compact: int = 64         # smallest compacted batch (segmented
     #                               mode).  Compaction jumps to the
@@ -1731,22 +1742,35 @@ def ns_finalize(state: _State, cfg: NSConfig) -> NSResult:
     )
 
 
+# memoized _normalize_loglike wrappers: the wrapper's id() keys
+# _JIT_CACHE/_AOT_CACHE, so a fresh closure per run_nested call would
+# silently defeat compile reuse across pixel batches (every fit_batch
+# call would retrace and redispatch through the persistent cache) and
+# no AOT-precompiled executable could ever be matched
+_NORM_CACHE = {}
+
+
 def _normalize_loglike(loglike, data):
     """Accept either loglike(u) or loglike(u, data), and route rank-2
     calls through a leading unit axis (works around pathological XLA
     compile times observed for fused rank-2 transform+predict+chi2
-    graphs on some TPU backends)."""
-    if data is None:
-        base = lambda u, _data: loglike(u)  # noqa: E731
-    else:
-        base = loglike
+    graphs on some TPU backends).  The wrapper is memoized per
+    (likelihood identity, has-data) so its own identity is stable."""
+    key = (id(loglike), data is None)
+    if key not in _NORM_CACHE:
+        if data is None:
+            base = lambda u, _data: loglike(u)  # noqa: E731
+        else:
+            base = loglike
 
-    def wrapped(u, d):
-        if u.ndim == 2:
-            return base(u[None], d)[0]
-        return base(u, d)
+        def wrapped(u, d):
+            if u.ndim == 2:
+                return base(u[None], d)[0]
+            return base(u, d)
 
-    return wrapped, data
+        # hold a strong ref to loglike so its id stays unique
+        _NORM_CACHE[key] = (wrapped, loglike)
+    return _NORM_CACHE[key][0], data
 
 
 # jit cache for the segmented path: keyed by likelihood identity,
@@ -1756,9 +1780,54 @@ def _normalize_loglike(loglike, data):
 # phase is never compiled.
 _JIT_CACHE = {}
 
+# logZero-floored likelihood wrappers, keyed (id(base), floor) so the
+# wrapper identity is stable across run_nested calls (compile reuse)
+_LOGZERO_CACHE = {}
+
+# ahead-of-time compiled executables (sampling.aot): same key space as
+# _JIT_CACHE; consulted first by _get_jit so a precompiled program is
+# dispatched without retracing.  Values are _AotDispatch wrappers that
+# fall back to the jit path on any call-signature mismatch.
+_AOT_CACHE = {}
+
+
+def _jit_key(loglike2, cfg, ndim, n_runs, dtype, kind):
+    return (id(loglike2), cfg, ndim, n_runs, jnp.dtype(dtype).name, kind)
+
+
+class _AotDispatch:
+    """Call an AOT-compiled executable; on aval/signature mismatch
+    (which XLA raises *before* running anything) permanently fall back
+    to the lazily-built jit wrapper for this program."""
+
+    __slots__ = ("name", "compiled", "fallback", "failed")
+
+    def __init__(self, name, compiled, fallback):
+        self.name = name
+        self.compiled = compiled
+        self.fallback = fallback
+        self.failed = False
+
+    def __call__(self, *args):
+        if not self.failed:
+            try:
+                return self.compiled(*args)
+            except (TypeError, ValueError) as exc:
+                self.failed = True
+                import warnings
+
+                warnings.warn(
+                    f"AOT program {self.name!r} signature mismatch "
+                    f"({exc}); falling back to jit"
+                )
+        return self.fallback(*args)
+
 
 def _get_jit(loglike2, cfg, ndim, n_runs, dtype, kind):
-    key = (id(loglike2), cfg, ndim, n_runs, jnp.dtype(dtype).name, kind)
+    key = _jit_key(loglike2, cfg, ndim, n_runs, dtype, kind)
+    aot = _AOT_CACHE.get(key)
+    if isinstance(aot, _AotDispatch):
+        return aot
     if key not in _JIT_CACHE:
         if kind == "init":
             fn = jax.jit(
@@ -1779,7 +1848,15 @@ def _get_jit(loglike2, cfg, ndim, n_runs, dtype, kind):
             fn = jax.jit(run_seg, donate_argnums=(0,))
         # keep a strong reference to loglike2 so id() stays unique
         _JIT_CACHE[key] = (fn, loglike2)
-    return _JIT_CACHE[key][0]
+    fn = _JIT_CACHE[key][0]
+    if aot is not None:
+        # first use of a freshly AOT-compiled program: wire the jit
+        # wrapper in as the mismatch fallback and memoize the dispatch
+        name, compiled = aot
+        disp = _AotDispatch(name, compiled, fn)
+        _AOT_CACHE[key] = disp
+        return disp
+    return fn
 
 
 def _gather_rows(tree, idx, n_rows):
@@ -1894,6 +1971,20 @@ def run_nested(
     """
     cfg = config.resolved(ndim)
     loglike2, data = _normalize_loglike(loglike, data)
+    if cfg.log_zero > -1e60:
+        # non-default logZero: floor excluded-region likelihoods to
+        # the log-zero sentinel (cached per (likelihood, floor) so the
+        # wrapper identity -- and with it compile reuse -- is stable)
+        lz_key = (id(loglike2), float(cfg.log_zero))
+        if lz_key not in _LOGZERO_CACHE:
+            base, lz = loglike2, cfg.log_zero
+
+            def loglike_lz(u, d):
+                v = base(u, d)
+                return jnp.where(v > lz, v, jnp.asarray(_NEG, v.dtype))
+
+            _LOGZERO_CACHE[lz_key] = (loglike_lz, base)
+        loglike2 = _LOGZERO_CACHE[lz_key][0]
 
     def apply_active(state):
         if active is None:
@@ -1954,16 +2045,19 @@ def run_nested(
         n_active = active_rows.size
         if compact and 0 < n_active and cfg.min_compact < r_cur:
             # repeated straggler compaction: jump to the smallest
-            # power-of-two class >= max(n_active, min_compact), but
+            # power-of-FOUR class >= max(n_active, min_compact), and
             # only when it shrinks the batch by at least 4x -- each
             # size class is a fresh XLA compile of the segment
-            # program, so a halving ladder would pay compiles for thin
-            # wins while a 4x jump (1024 -> 256 -> 64 in practice)
-            # captures most of the tail wall (measured: the R=256
-            # straggler phase was ~10s of a ~60s rung at R=1024)
+            # program, so the class set is kept to {min_compact * 4^k}
+            # (64/256/1024 at the defaults): the extra padding compute
+            # vs a power-of-two ladder is bounded at 2x of a short
+            # straggler phase (~seconds), while every avoided class is
+            # a 30-90+ s remote-worker compile that the AOT
+            # precompiler (sampling.aot) would otherwise have to
+            # include speculatively
             tgt = cfg.min_compact
             while tgt < n_active:
-                tgt *= 2
+                tgt *= 4
             if tgt <= r_cur // 4:
                 # bank the current rows into the full-size
                 # accumulator, then re-gather just the active runs

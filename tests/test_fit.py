@@ -221,3 +221,77 @@ def test_merge_fit_rows():
         np.asarray(fit_a.products.bestfit_params[0]),
     )
     assert int(merged.ns.ncall[2]) == int(fit_b.ns.ncall[1])
+
+
+@pytest.mark.slow
+def test_aot_precompile_matches_jit():
+    """The AOT precompiler (sampling/aot.py) must produce bit-identical
+    results through the installed executables, report a complete plan,
+    and fall back to the jit path -- not crash -- on a signature
+    mismatch."""
+    import dataclasses as dc
+    import warnings
+
+    import jax
+
+    from nestfit_tpu.sampling import aot
+    from nestfit_tpu.sampling import fit as fit_mod
+    from nestfit_tpu.sampling import sampler as sampler_mod
+
+    utrans = get_gaussian_priors(vsys=0.0)
+    p1 = np.array([0.0, 0.5, 3.0])
+    spec, *_ = make_gauss_spec(p1, noise=0.15, seed=6)
+    R = 8
+    spec_b = dc.replace(
+        spec,
+        data=jnp.broadcast_to(spec.data, (R,) + spec.data.shape),
+        noise=jnp.broadcast_to(spec.noise, (R,) + spec.noise.shape),
+    )
+    runner = GaussianRunner(spec_b, utrans, ncomp=1)
+    cfg = NSConfig(nlive=32, tol=1.0, min_compact=2)
+
+    ref = fit_batch(random.key(7), runner, R, cfg, segment_iters=64)
+    lnz_ref = np.asarray(ref.lnz)
+
+    # fresh caches so the AOT install paths are actually exercised
+    sampler_mod._JIT_CACHE.clear()
+    sampler_mod._AOT_CACHE.clear()
+    fit_mod._LOGLIKE_CACHE.clear()
+    fit_mod._FINALIZE_CACHE.clear()
+    fit_mod._FINALIZE_AOT.clear()
+
+    plan = aot.build_plan(runner, R, cfg, n_post=512)
+    names = {t.name for t in plan}
+    assert f"n1:init@{R}" in names and f"n1:fin@{R}" in names
+    assert f"n1:finalize@{R}" in names
+    rep = aot.compile_plan(plan, max_workers=4)
+    assert rep["n_errors"] == 0, rep
+    assert rep["n_programs"] == len(plan)
+    assert sampler_mod._AOT_CACHE, "no AOT executables installed"
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # a fallback warning -> failure
+        res = fit_batch(random.key(7), runner, R, cfg,
+                        segment_iters=64)
+        jax.block_until_ready(res.lnz)
+    assert np.allclose(np.asarray(res.lnz), lnz_ref, atol=0.0), (
+        np.asarray(res.lnz), lnz_ref
+    )
+
+    # the installed programs are dispatched through _AotDispatch (the
+    # run above promoted the raw (name, compiled) entries)
+    assert any(isinstance(v, sampler_mod._AotDispatch)
+               for v in sampler_mod._AOT_CACHE.values())
+
+    # mismatch fallback: a dispatch called with the wrong signature
+    # must warn and hand off to its jit fallback, not crash
+    disp = next(v for v in sampler_mod._AOT_CACHE.values()
+                if isinstance(v, sampler_mod._AotDispatch)
+                and ":init@" in v.name)
+    calls = []
+    disp_bad = sampler_mod._AotDispatch(
+        disp.name, disp.compiled, lambda *a: calls.append(a) or "fb"
+    )
+    with pytest.warns(UserWarning, match="signature mismatch"):
+        out = disp_bad(jnp.zeros((3, 3)))   # wrong arity/avals
+    assert out == "fb" and disp_bad.failed and len(calls) == 1

@@ -163,6 +163,21 @@ def test_two_process_store_shards(tmp_path):
         # completion manifest covers every pixel exactly once
         assert store.completed_pixels().size == 8
 
+    # distributed-control-plane coverage must not silently vanish: the
+    # worker reports which mode actually ran.  A fallback to explicit
+    # process ids still exercises the store sharding asserted above,
+    # but the jax.distributed path is the point of this test --
+    # surface the degradation as xfail instead of a green pass
+    # (VERDICT r2 item 7; checked last so the store assertions always
+    # run in either mode)
+    modes = ["done via jax.distributed" in out for out in outs]
+    if not all(modes):
+        detail = "\n".join(o[-400:] for o in outs)
+        pytest.xfail(
+            "jax.distributed.initialize fell back to explicit ids "
+            f"(control plane untested this run):\n{detail}"
+        )
+
 
 def test_distributed_single_process():
     """Multi-host utilities degrade to no-ops on one process."""

@@ -482,3 +482,68 @@ def test_ceff_constant_efficiency_mode():
     epd = (np.asarray(res.ncall, dtype=np.int64)
            / np.maximum(np.asarray(res.n_dead), 1))
     assert epd.mean() < 15.0, epd
+
+
+def test_log_zero_floor():
+    """MultiNest ``logZero`` mapping (reference core.pyx:764-766):
+    likelihoods at or below ``log_zero`` mark excluded regions.  With
+    the floor below every achievable lnL the results are identical to
+    the default; with the floor cutting the Gaussian's tail at
+    lnL = -5 the evidence becomes the truncated integral
+    2*pi*s^2*(1 - e^-5) analytically (ndim=2)."""
+    ndim, sigma, R = 2, 0.05, 8
+    ll = gaussian_loglike(sigma)
+
+    base = run_nested(random.key(9), ll, ndim, R,
+                      NSConfig(nlive=200, tol=0.1), dtype=jnp.float64)
+    inert = run_nested(random.key(9), ll, ndim, R,
+                       NSConfig(nlive=200, tol=0.1, log_zero=-1e9),
+                       dtype=jnp.float64)
+    assert np.allclose(np.asarray(base.lnz), np.asarray(inert.lnz),
+                       atol=1e-12)
+
+    cut = run_nested(random.key(9), ll, ndim, R,
+                     NSConfig(nlive=200, tol=0.1, log_zero=-5.0),
+                     dtype=jnp.float64)
+    lnz_true = np.log(2 * np.pi * sigma**2 * -np.expm1(-5.0))
+    lnz = np.asarray(cut.lnz)
+    assert np.all(np.asarray(cut.converged))
+    assert abs(lnz.mean() - lnz_true) < 0.15, (lnz.mean(), lnz_true)
+
+
+def test_posterior_modes_ztol():
+    """MultiNest ``Ztol`` mapping (reference core.pyx:756-757): mode
+    slots whose local evidence falls below ``ztol`` are masked from
+    the report."""
+    from nestfit_tpu import posterior_modes
+
+    sigma, ndim, R = 0.04, 2, 2
+    mu1, mu2 = 0.25, 0.75
+
+    def loglike(u):
+        d1 = jnp.sum((u - mu1) ** 2, axis=-1)
+        d2 = jnp.sum((u - mu2) ** 2, axis=-1)
+        return jnp.logaddexp(-0.5 * d1 / sigma**2,
+                             -0.5 * d2 / sigma**2)
+
+    res = run_nested(random.key(4), loglike, ndim, R,
+                     NSConfig(nlive=200, tol=0.1, method="ellipsoid"),
+                     dtype=jnp.float64)
+    full = posterior_modes(res, lambda u: u, max_modes=4)
+    n_full = np.asarray(full.n_modes)
+    assert np.all(n_full == 2), n_full
+    hi = np.asarray(full.mode_lnz).max()
+
+    # floor above every local evidence: nothing reported
+    none = posterior_modes(res, lambda u: u, max_modes=4,
+                           ztol=float(hi) + 1.0)
+    assert np.all(np.asarray(none.n_modes) == 0)
+    assert np.all(~np.isfinite(np.asarray(none.mode_lnz)))
+    assert np.all(np.asarray(none.mode_frac) == 0.0)
+    assert np.all(np.asarray(none.membership) == -1)
+
+    # floor below every local evidence: identical report
+    low = posterior_modes(res, lambda u: u, max_modes=4, ztol=-1e8)
+    assert np.all(np.asarray(low.n_modes) == n_full)
+    assert np.allclose(np.asarray(low.mode_lnz),
+                       np.asarray(full.mode_lnz))
