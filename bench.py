@@ -443,6 +443,14 @@ def native_truth_comparison(d11, d22, lnz1, lnz2, null, nbest):
       the same Bayes-factor ladder rule (thresh 11, reference
       main.py:448-472) vs this sampler's nbest on the same pixels.
 
+    The gate is the MEDIAN plus the selection agreement, never the
+    max: on strongly-2-component pixels the rung-1 (misfit) posterior
+    is a set of far-separated noise islands where the two engines can
+    legitimately settle 1e2-1e3 nats apart against quoted sigmas of
+    ~0.3 (measured max ~3.8e3 sigma on such a pixel), while both
+    still select nbest=2 by >1e3 nats.  Those records say nothing
+    about either engine's evidence quality on models that FIT.
+
     Returns a gates sub-dict (empty when the artifact is absent or
     belongs to a different cube).
     """

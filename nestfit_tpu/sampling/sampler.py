@@ -286,7 +286,15 @@ class NSConfig:
     #                               (like MultiNest's -1e90) is below
     #                               any representable f32 likelihood,
     #                               i.e. disabled, and adds no op to
-    #                               the traced program
+    #                               the traced program.  Caveat
+    #                               (shared with MultiNest): the
+    #                               floored region is a likelihood
+    #                               plateau, and plateau deaths bias
+    #                               lnZ high by ~ln(e^{-f}/f_above)
+    #                               when the floor excludes a prior
+    #                               fraction f (Fowlie+2020); see
+    #                               test_log_zero_floor for the exact
+    #                               model
     init_chunk: int = 32          # live-point chunk for the init evals
     min_compact: int = 64         # smallest compacted batch (segmented
     #                               mode).  Compaction jumps to the

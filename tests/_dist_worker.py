@@ -23,6 +23,23 @@ def main():
 
     import jax
 
+    # the environment may pin JAX_PLATFORMS to a TPU plugin via a site
+    # hook that wins over os.environ (see tests/conftest.py); the
+    # config route always works, and the CPU backend is required for
+    # multi-process process_count/collectives here
+    jax.config.update("jax_platforms", "cpu")
+
+    # same persistent compile cache the main suite uses: cold two-
+    # process compiles are the dominant wall here, and asymmetric
+    # cache hits between the workers are absorbed by the explicit
+    # done-barrier below
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache_cpu"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
     from nestfit_tpu.parallel.distributed import initialize_distributed
 
     mode = "jax.distributed"
@@ -71,6 +88,18 @@ def main():
         store_name=store_name, seed=4, host_shard=True, link=False,
         **proc_kwargs,
     )
+    if mode == "jax.distributed":
+        # host_shard fits run independently per process, so compile-
+        # cache asymmetry can skew completion by many minutes; without
+        # an explicit long-deadline rendezvous the fast worker times
+        # out jax.distributed's fixed ~5-min SHUTDOWN barrier and the
+        # whole run aborts.  Rendezvous here with a generous deadline
+        # so both processes reach shutdown together.
+        from jax._src import distributed as _jdist
+
+        _jdist.global_state.client.wait_at_barrier(
+            "nestfit_dist_worker_done", timeout_in_ms=14 * 60 * 1000,
+        )
     print(f"worker {pid}/{nproc} done via {mode}", flush=True)
 
 
