@@ -127,6 +127,22 @@ struct NfProblem {
     // priors: per-dim PPF tables [ndim, ppf_n]
     const double* ppf;
     int ppf_n;
+    // joint resolved-placement prior on the centroid dims (reference
+    // core.pyx:369-434; mirrors nestfit_tpu.priors.ResolvedPlacementPrior):
+    // when plc_n > 0 and ncomp >= 2, the voff dims [plc_p_voff*C + i]
+    // are drawn sequentially over the tabulated vcen distribution with
+    // minimum separations  sep_scale * sqrt(sig_i * sig_{i-1})  taken
+    // from the (independently transformed) sigm dims.  The per-dim PPF
+    // tables for the voff dims are ignored in that case -- independent
+    // tables cannot represent the joint coupling, which is exactly the
+    // marginalization error this path removes from the CPU baseline.
+    int plc_p_voff = -1;
+    int plc_p_sigm = -1;
+    double plc_sep_scale = 0.0;
+    const double* plc_xax = nullptr;   // [plc_n] uniform grid
+    const double* plc_pdf = nullptr;   // [plc_n]
+    int plc_n = 0;
+    double plc_dx = 0.0, plc_xmin = 0.0, plc_xmax = 0.0;
     // spectra
     std::vector<NfSpectrum> spectra;
     // analytic gaussian
@@ -135,7 +151,98 @@ struct NfProblem {
     double brot, crot;
     // scratch
     mutable std::vector<double> tau_scratch, pred_scratch, theta_scratch;
+    mutable std::vector<double> plc_cdf_scratch;
 };
+
+// Invert the tapered interval CDF at u over [lo_in, hi_in] -- the f64
+// scalar analogue of nestfit_tpu.priors.distributions.cdf_over_interval
+// + cdf_interp (reference Distribution.cdf_over_interval,
+// core.pyx:109-161): trapezoid accumulation of the PDF with a reverse
+// power-law taper ((i_hi - i) / span)^sfact, renormalized over the
+// interval, then linear inverse interpolation.
+static double nf_tapered_invert(const NfProblem& P, double u,
+                                double lo_in, double hi_in, int sfact)
+{
+    const int n = P.plc_n;
+    const double lo = std::min(lo_in, hi_in);
+    const double hi = std::max(lo_in, hi_in);
+    int i_lo = (int)((lo - P.plc_xmin) / P.plc_dx);
+    if (i_lo < 0) i_lo = 0;
+    if (i_lo > n - 1) i_lo = n - 1;
+    int i_hi = (int)((hi - P.plc_xmin) / P.plc_dx);
+    if (i_hi == i_lo) i_hi = i_lo + 1;
+    if (i_hi < 1) i_hi = 1;
+    if (i_hi > n) i_hi = n;
+    const int span = std::max(i_hi - i_lo, 1);
+    double* cdf = P.plc_cdf_scratch.data();
+    // degenerate single-cell interval: delta at i_lo (core.pyx:140-141)
+    if (i_hi - i_lo == 1) {
+        for (int j = 0; j < n; ++j) cdf[j] = (j >= i_lo) ? 1.0 : 0.0;
+    } else {
+        double csum = 0.0;
+        for (int j = 0; j < n; ++j) {
+            if (j > i_lo && j < i_hi) {
+                const double t = (double)(j - i_lo) / (double)span;
+                const double taper =
+                    std::pow(std::max(1.0 - t, 0.0), (double)sfact);
+                csum += 0.5 * (P.plc_pdf[j] + P.plc_pdf[j - 1]) * taper;
+            }
+            cdf[j] = csum;
+        }
+        const double total = std::max(csum, 1e-30);
+        for (int j = 0; j < n; ++j) {
+            if (j < i_lo) cdf[j] = 0.0;
+            else if (j >= i_hi) cdf[j] = 1.0;
+            else cdf[j] /= total;
+        }
+    }
+    // inverse interpolation (core.pyx:65-107 semantics)
+    u = std::max(u, 1e-30);
+    int i_s = 0;
+    while (i_s < n && cdf[i_s] < u) ++i_s;
+    if (i_s < 1) i_s = 1;
+    if (i_s > n - 1) i_s = n - 1;
+    const double y_lo = cdf[i_s - 1];
+    const double y_hi = cdf[i_s];
+    const double denom = std::max(y_hi - y_lo, 1e-30);
+    return P.plc_xax[i_s - 1] + (u - y_lo) * (P.plc_dx / denom);
+}
+
+// Sequential resolved placement of the ncomp centroids (reference
+// core.pyx:392-434): left-to-right draws over the remaining interval,
+// adjacent components kept >= sep_scale * sqrt(sig_i * sig_{i-1})
+// apart, separations shrunk to fit when their sum exceeds the range.
+static void nf_placement_overwrite(const NfProblem& P, const double* u,
+                                   double* theta)
+{
+    const int C = P.ncomp;
+    double min_sep[16];
+    double sep_tot = 0.0;
+    min_sep[0] = 0.0;
+    for (int i = 1; i < C; ++i) {
+        const double si = theta[(size_t)P.plc_p_sigm * C + i];
+        const double sp = theta[(size_t)P.plc_p_sigm * C + i - 1];
+        min_sep[i] = P.plc_sep_scale * std::sqrt(si * sp);
+        sep_tot += min_sep[i];
+    }
+    const double v_range = P.plc_xmax - P.plc_xmin;
+    if (sep_tot > v_range) {
+        const double f = v_range / sep_tot;
+        for (int i = 0; i < C; ++i) min_sep[i] *= f;
+        sep_tot *= f;
+    }
+    double v_lo = P.plc_xmin;
+    double v_hi = P.plc_xmax - sep_tot;
+    for (int i = 0; i < C; ++i) {
+        v_lo += min_sep[i];
+        v_hi += min_sep[i];
+        const int sfact = C - 1 - i;
+        const double v = nf_tapered_invert(
+            P, u[(size_t)P.plc_p_voff * C + i], v_lo, v_hi, sfact);
+        theta[(size_t)P.plc_p_voff * C + i] = v;
+        v_lo = v;
+    }
+}
 
 static void transform_theta(const NfProblem& P, const double* u, double* theta)
 {
@@ -149,6 +256,8 @@ static void transform_theta(const NfProblem& P, const double* u, double* theta)
         const double f = x - i;
         theta[d] = tab[i] + (tab[i + 1] - tab[i]) * f;
     }
+    if (P.plc_n > 0 && P.ncomp >= 2)
+        nf_placement_overwrite(P, u, theta);
 }
 
 static double loglike(const NfProblem& P, const double* u, long* ncall)
@@ -449,6 +558,8 @@ void nf_ns_gaussian(int ndim, double sigma, int nlive, double tol,
 void nf_ns_spectral(
     int kind, int ncomp, int n_params,
     const double* ppf, int ppf_n,
+    int plc_p_voff, int plc_p_sigm, double plc_sep_scale,
+    const double* plc_xax, const double* plc_pdf, int plc_n,
     int n_spec,
     const double* xarr_cat, const double* t0_cat, const double* tbg_cat,
     const double* data_cat, const int* n_chan, const double* nu,
@@ -464,6 +575,18 @@ void nf_ns_spectral(
     P.ndim = n_params * ncomp;
     P.ppf = ppf;
     P.ppf_n = ppf_n;
+    if (plc_n > 0 && plc_p_voff >= 0 && plc_p_sigm >= 0 && ncomp <= 16) {
+        P.plc_p_voff = plc_p_voff;
+        P.plc_p_sigm = plc_p_sigm;
+        P.plc_sep_scale = plc_sep_scale;
+        P.plc_xax = plc_xax;
+        P.plc_pdf = plc_pdf;
+        P.plc_n = plc_n;
+        P.plc_xmin = plc_xax[0];
+        P.plc_xmax = plc_xax[plc_n - 1];
+        P.plc_dx = (P.plc_xmax - P.plc_xmin) / (double)(plc_n - 1);
+        P.plc_cdf_scratch.resize(plc_n);
+    }
     P.brot = brot;
     P.crot = crot;
     int max_chan = 0;
@@ -495,6 +618,39 @@ void nf_ns_spectral(
     out6[0] = o.lnz; out6[1] = o.lnz_err; out6[2] = o.h;
     out6[3] = (double)o.n_dead; out6[4] = (double)o.ncall;
     out6[5] = o.max_loglike;
+}
+
+// Direct prior transform (for parity tests): per-dim PPF tables plus
+// the optional joint resolved-placement overwrite, same code path the
+// sampler uses.
+void nf_transform(
+    int ncomp, int n_params,
+    const double* ppf, int ppf_n,
+    int plc_p_voff, int plc_p_sigm, double plc_sep_scale,
+    const double* plc_xax, const double* plc_pdf, int plc_n,
+    const double* u, int n_pts, double* theta)
+{
+    NfProblem P;
+    P.kind = 1;
+    P.ncomp = ncomp;
+    P.ndim = n_params * ncomp;
+    P.ppf = ppf;
+    P.ppf_n = ppf_n;
+    if (plc_n > 0 && plc_p_voff >= 0 && plc_p_sigm >= 0 && ncomp <= 16) {
+        P.plc_p_voff = plc_p_voff;
+        P.plc_p_sigm = plc_p_sigm;
+        P.plc_sep_scale = plc_sep_scale;
+        P.plc_xax = plc_xax;
+        P.plc_pdf = plc_pdf;
+        P.plc_n = plc_n;
+        P.plc_xmin = plc_xax[0];
+        P.plc_xmax = plc_xax[plc_n - 1];
+        P.plc_dx = (P.plc_xmax - P.plc_xmin) / (double)(plc_n - 1);
+        P.plc_cdf_scratch.resize(plc_n);
+    }
+    for (int k = 0; k < n_pts; ++k)
+        transform_theta(P, u + (size_t)k * P.ndim,
+                        theta + (size_t)k * P.ndim);
 }
 
 // Direct model evaluation (for kernel cross-validation): ammonia.

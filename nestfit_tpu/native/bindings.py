@@ -48,6 +48,7 @@ def _load():
     lib.nf_ns_spectral.argtypes = [
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         _D, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_double, _D, _D, ctypes.c_int,
         ctypes.c_int,
         _D, _D, _D, _D, _I, _D,
         _I, _D, _D,
@@ -93,9 +94,18 @@ def _chan_terms(xarr):
 
 def ppf_tables_from_utrans(utrans, ncomp, n=2001):
     """Independent per-dimension PPF tables approximating a
-    PriorTransformer (exact for independent priors; joint priors are
-    marginalized -- adequate for the CPU baseline / agreement checks
-    when using simple priors)."""
+    PriorTransformer (exact for independent priors).
+
+    Joint priors are NOT representable this way: a
+    ``ResolvedPlacementPrior``'s centroid dims depend on the sigma
+    draws and on each other, and the per-dim tables silently drop the
+    minimum-separation constraint (the engine would then integrate a
+    *different, wider* prior -- measured at up to thousands of nats of
+    spurious lnZ2 on high-SNR close-pair pixels).  Pass the spec from
+    :func:`placement_spec_from_utrans` alongside these tables so the
+    C++ engine applies the exact joint placement transform to the
+    centroid dims (their table rows are then ignored for ncomp >= 2).
+    """
     import jax.numpy as jnp
 
     u = np.linspace(0.0, 1.0, n)
@@ -108,12 +118,36 @@ def ppf_tables_from_utrans(utrans, ncomp, n=2001):
     return np.ascontiguousarray(tabs)
 
 
+def placement_spec_from_utrans(utrans):
+    """Extract the joint resolved-placement spec (if any) from a
+    PriorTransformer for the C++ engine: ``(p_voff, p_sigm, sep_scale,
+    xax, pdf)`` in float64, or None when the transformer holds no
+    ResolvedPlacementPrior."""
+    from nestfit_tpu.priors.priors import ResolvedPlacementPrior
+
+    for pr in getattr(utrans, "priors", []):
+        if isinstance(pr, ResolvedPlacementPrior):
+            dist = pr.vcen_prior.dist
+            return (
+                int(pr.vcen_prior.p_ix),
+                int(pr.sigm_prior.p_ix),
+                float(pr.sep_scale),
+                np.ascontiguousarray(np.asarray(dist.xax, dtype=np.float64)),
+                np.ascontiguousarray(np.asarray(dist.pdf, dtype=np.float64)),
+            )
+    return None
+
+
 def ns_spectral_ammonia(spectra_data, ppf, ncomp=1, nlive=100, tol=1.0,
-                        max_iter=200000, seed=0):
+                        max_iter=200000, seed=0, placement=None):
     """Sequential C++ ammonia fit.
 
     spectra_data: list of (xarr, data, noise, trans_id).
     ppf: [6*ncomp, N] per-dimension PPF tables.
+    placement: optional joint resolved-placement spec from
+        :func:`placement_spec_from_utrans`; REQUIRED for correct
+        ncomp >= 2 evidences under placement priors (the independent
+        tables drop the minimum-separation constraint).
     """
     lib = _load()
     assert lib is not None, "native library unavailable"
@@ -138,9 +172,19 @@ def ns_spectral_ammonia(spectra_data, ppf, ncomp=1, nlive=100, tol=1.0,
         ea.append(t.ea)
     out = np.zeros(6)
     bestfit = np.zeros(6 * ncomp)
+    if placement is not None:
+        p_voff, p_sigm, sep_scale, plc_xax, plc_pdf = placement
+        plc_n = plc_xax.shape[0]
+    else:
+        p_voff, p_sigm, sep_scale = -1, -1, 0.0
+        plc_xax = plc_pdf = np.zeros(1)
+        plc_n = 0
     lib.nf_ns_spectral(
         1, ncomp, 6,
         np.ascontiguousarray(ppf, dtype=np.float64), ppf.shape[1],
+        p_voff, p_sigm, sep_scale,
+        np.ascontiguousarray(plc_xax, dtype=np.float64),
+        np.ascontiguousarray(plc_pdf, dtype=np.float64), plc_n,
         len(spectra_data),
         np.concatenate(xarr_cat), np.concatenate(t0_cat),
         np.concatenate(tbg_cat), np.concatenate(data_cat),
