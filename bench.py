@@ -51,6 +51,20 @@ CPU_FITS_PER_SEC_FALLBACK = 0.5
 T_START = time.perf_counter()
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
 
+#: progressively-updated result record: every completed phase folds its
+#: numbers in, so the SIGALRM deadline handler (and the exception
+#: handler) can always emit the best-known JSON line.  The r3 driver
+#: run died rc=124 with `parsed: null` because the JSON was only
+#: printed at the very end -- the record must exist BEFORE the deadline.
+RESULT = {
+    "metric": "spectra_fit_per_sec_per_chip",
+    "value": 0.0,
+    "unit": "ladder-fits/s/chip",
+    "vs_baseline": 0.0,
+    "timed_clean": False,
+    "partial": True,
+}
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -58,6 +72,14 @@ def log(*a):
 
 def remaining():
     return BUDGET_S - (time.perf_counter() - T_START)
+
+
+def _deadline_emit(signum=None, frame=None):  # pragma: no cover
+    RESULT["deadline_hit"] = True
+    log(f"bench: DEADLINE at {time.perf_counter() - T_START:.0f}s -- "
+        "emitting the best-known partial result")
+    print(json.dumps(RESULT), flush=True)
+    os._exit(0)
 
 
 def main():
@@ -115,8 +137,9 @@ def main():
     cfg = NSConfig(nlive=nlive, tol=1.0)
     seg = int(os.environ.get("BENCH_SEGMENT_ITERS", "250"))
     mode_loss_margin = 8.0
-    r_retry = 64                   # fixed retry batch width (one
-    #                                compile class, reused via data=)
+    # fixed retry batch width (one compile class, reused via data=),
+    # clamped for tiny smoke runs
+    r_retry = min(64, n_pix)
 
     runners = {n: make_runner(n) for n in (1, 2)}
     # fixed-shape retry templates; per-retry pixel data enters as the
@@ -255,11 +278,69 @@ def main():
         f"{pre['n_deduped']} hlo-deduped, "
         f"{pre['n_errors']} errors)")
 
+    def score_pass(results, elapsed, timed_clean, extra_nc):
+        """Fold a completed ladder pass into RESULT: headline rate,
+        selection-quality gate, telemetry.  Called after the warmup AND
+        after the timed pass so the deadline handler always has the
+        latest complete pass to emit."""
+        r1, r2 = results[1], results[2]
+        lnz1 = np.asarray(r1.lnz)
+        lnz2 = np.asarray(r2.lnz)
+        null = np.asarray(r1.null_lnz)
+        nbest = np.where(
+            lnz1 - null < 11.0, 0, np.where(lnz2 - lnz1 < 11.0, 1, 2)
+        )
+        conv = np.asarray(r1.ns.converged) & np.asarray(r2.ns.converged)
+        evals_px = float(
+            np.asarray(r1.ns.ncall, dtype=np.int64).mean()
+            + np.asarray(r2.ns.ncall, dtype=np.int64).mean()
+            + extra_nc / n_pix
+        )
+        fits_per_sec = n_pix / elapsed
+        log(
+            f"bench: {n_pix} ladder fits in {elapsed:.2f}s -> "
+            f"{fits_per_sec:.1f} fits/s/chip; "
+            f"converged={conv.mean()*100:.1f}% "
+            f"likelihood evals/pixel={evals_px:.0f} "
+            f"nbest histogram={np.bincount(nbest, minlength=3).tolist()}"
+        )
+        log(f"bench: mean lnZ1-null={np.mean(lnz1 - null):.1f} "
+            f"mean lnZ2-lnZ1={np.mean(lnz2 - lnz1):.1f}")
+        frac_ge1 = float((nbest >= 1).mean())
+        frac_eq2 = float((nbest == 2).mean())
+        gates = {
+            "converged_frac": float(conv.mean()),
+            "nbest_ge1_frac": frac_ge1,
+            "nbest_eq2_frac": frac_eq2,
+            "mode_loss_remaining": {
+                str(k): int(v)
+                for k, v in sorted(mode_loss_remaining.items())
+            },
+        }
+        ok_sel = (frac_ge1 >= 0.90 and frac_eq2 >= 0.30
+                  and conv.mean() >= 0.98)
+        log(f"bench: selection gate {'PASS' if ok_sel else 'FAIL'} "
+            f"(>=1: {frac_ge1:.2f}, ==2: {frac_eq2:.2f}, "
+            f"conv: {conv.mean():.3f})")
+        RESULT.update({
+            "value": round(fits_per_sec, 3) if ok_sel else 0.0,
+            "vs_baseline": round(
+                fits_per_sec / CPU_FITS_PER_SEC_FALLBACK, 2),
+            "timed_clean": bool(timed_clean),
+            "evals_per_pixel": int(evals_px),
+            "gates": gates,
+        })
+        return (lnz1, lnz2, null, nbest, r1, r2, fits_per_sec, ok_sel,
+                gates)
+
     log("bench: warmup ...")
     results, _, extra_nc = ladder(random.key(0), tag="warmup")
     t_warm = time.perf_counter() - t0
     log(f"bench: warmup incl. precompile {t_warm:.1f}s "
         f"(budget left {remaining():.0f}s)")
+    RESULT["warmup_s"] = round(t_warm, 1)
+    RESULT["precompile"] = pre
+    score_pass(results, t_warm, False, extra_nc)
 
     # Clean timed pass whenever the budget plausibly holds it.  The
     # warmup wall is compile-dominated (XLA compile through remote
@@ -293,65 +374,55 @@ def main():
             "reporting warmup timing (includes compile)")
         elapsed = t_warm
 
-    r1, r2 = results[1], results[2]
-    lnz1 = np.asarray(r1.lnz)
-    lnz2 = np.asarray(r2.lnz)
-    null = np.asarray(r1.null_lnz)
-    nbest = np.where(
-        lnz1 - null < 11.0, 0, np.where(lnz2 - lnz1 < 11.0, 1, 2)
-    )
-    conv = np.asarray(r1.ns.converged) & np.asarray(r2.ns.converged)
-    # retry-waste correction enters as a float at the mean (the old
-    # ``extra_nc // n_pix`` array add floored it to the pixel grain)
-    evals_px = float(
-        np.asarray(r1.ns.ncall, dtype=np.int64).mean()
-        + np.asarray(r2.ns.ncall, dtype=np.int64).mean()
-        + extra_nc / n_pix
-    )
-    fits_per_sec = n_pix / elapsed
-    log(
-        f"bench: {n_pix} ladder fits in {elapsed:.2f}s -> "
-        f"{fits_per_sec:.1f} fits/s/chip; "
-        f"converged={conv.mean()*100:.1f}% "
-        f"likelihood evals/pixel={evals_px:.0f} "
-        f"nbest histogram={np.bincount(nbest, minlength=3).tolist()}"
-    )
-    log(f"bench: mean lnZ1-null={np.mean(lnz1 - null):.1f} "
-        f"mean lnZ2-lnZ1={np.mean(lnz2 - lnz1):.1f}")
-
-    # ---- accuracy gate 1: model selection on the 2-comp-truth cube.
-    # Truth is 2 components everywhere; low-SNR / small-vsep pixels
+    # ---- score the reported pass (selection gate = accuracy gate 1:
+    # truth is 2 components everywhere; low-SNR / small-vsep pixels
     # legitimately prefer fewer, so gate on floors calibrated from the
     # round-1 baseline ([24, 560, 440] at seed 5), with slack for seed
     # scatter.  A sampler perf regression that loses modes or biases
-    # lnZ differences shows up here first.
-    frac_ge1 = float((nbest >= 1).mean())
-    frac_eq2 = float((nbest == 2).mean())
-    gates = {
-        "converged_frac": float(conv.mean()),
-        "nbest_ge1_frac": frac_ge1,
-        "nbest_eq2_frac": frac_eq2,
-        # pixels still violating the nested-model evidence floor after
-        # the escalated retries (provably inconsistent evidence)
-        "mode_loss_remaining": {
-            str(k): int(v) for k, v in sorted(mode_loss_remaining.items())
-        },
-    }
-    ok_sel = frac_ge1 >= 0.90 and frac_eq2 >= 0.30 and conv.mean() >= 0.98
-    log(f"bench: selection gate {'PASS' if ok_sel else 'FAIL'} "
-        f"(>=1: {frac_ge1:.2f}, ==2: {frac_eq2:.2f}, "
-        f"conv: {conv.mean():.3f})")
+    # lnZ differences shows up here first.)
+    (lnz1, lnz2, null, nbest, r1, r2, fits_per_sec, ok_sel,
+     gates) = score_pass(results, elapsed, timed_clean, extra_nc)
+
+    # ---- accuracy gate 3 first (cheap: reads the committed nlive=400
+    # native-truth artifact) so it lands in RESULT even if the
+    # in-budget baseline phase cannot run.
+    ok_agree = True
+    nt = native_truth_comparison(d11, d22, lnz1, lnz2, null, nbest)
+    if nt:
+        gates.update(nt)
+        # thresholds documented in validation/compute_native_truth.py:
+        # median within a few sigma of a baseline with a MEASURED seed
+        # scatter; selection agreement floor 0.7 leaves room for
+        # genuine boundary pixels where the 11-nat rule flips on
+        # seed-level evidence scatter in either engine; the outlier
+        # bound keeps unexplained large-sigma records from hiding
+        # behind the median (each must be classified in
+        # validation/outlier_postmortem.md)
+        if nt["native400_n_records"] >= 16:
+            ok_native = (nt["native400_dz_sigma_median"] < 4.0
+                         and nt["native400_nbest_agree_frac"] >= 0.7
+                         and nt["native400_dz_frac_gt10"] <= 0.15)
+            log(f"bench: native-truth gate "
+                f"{'PASS' if ok_native else 'FAIL'}")
+            ok_agree = ok_agree and ok_native
+        else:
+            log("bench: native-truth artifact too small to gate "
+                f"(n={nt['native400_n_records']})")
+    if not (ok_sel and ok_agree):
+        RESULT["value"] = 0.0
 
     # ---- accuracy gate 2 + baseline: sequential C++ engine on a
     # pixel sample (the MultiNest-agreement analogue).  The same runs
     # provide the CPU-baseline rate and the per-pixel lnZ comparison.
+    # Strictly budget-boxed: each native run carries a wall box, and
+    # the whole phase is skipped when the budget is nearly spent (the
+    # committed artifact above already carries the agreement load).
     cpu_rate, agree = measure_cpu_baseline(
         xa11, d11, xa22, d22, noise, nlive,
         (lnz1, np.asarray(r1.ns.lnz_err)),
         (lnz2, np.asarray(r2.ns.lnz_err)),
     )
     log(f"bench: CPU baseline {cpu_rate:.3f} ladder-fits/s/core")
-    ok_agree = True
     if agree:
         # Robust two-part gate: median |dz|/sigma plus an outlier
         # FRACTION, not a hard max.  The sequential baseline is not
@@ -375,36 +446,17 @@ def main():
         # loose absolute cap on top of the count allowance: tolerated
         # outliers must still be baseline-undersampling-sized (tens of
         # nats / quoted sigma ~0.5), not arbitrarily wrong
-        ok_agree = bool(np.median(np.abs(dz)) < 6.0 and
-                        n_out <= max(1, len(dz) // 3) and
-                        np.max(np.abs(dz)) < 50.0)
-        log(f"bench: lnZ-agreement gate {'PASS' if ok_agree else 'FAIL'} "
+        ok2 = bool(np.median(np.abs(dz)) < 6.0 and
+                   n_out <= max(1, len(dz) // 3) and
+                   np.max(np.abs(dz)) < 50.0)
+        log(f"bench: lnZ-agreement gate {'PASS' if ok2 else 'FAIL'} "
             f"(|dz|/sigma median {np.median(np.abs(dz)):.2f}, "
             f"frac>10 {frac_out:.2f}, max {np.max(np.abs(dz)):.2f}, "
             f"n={len(dz)})")
         gates["lnz_dz_sigma_median"] = float(np.median(np.abs(dz)))
         gates["lnz_dz_sigma_max"] = float(np.max(np.abs(dz)))
         gates["lnz_dz_frac_gt10"] = frac_out
-
-    # ---- accuracy gate 3: committed nlive=400 native-truth artifact
-    # (wide lnZ agreement + independent model-selection agreement).
-    nt = native_truth_comparison(d11, d22, lnz1, lnz2, null, nbest)
-    if nt:
-        gates.update(nt)
-        # thresholds documented in validation/compute_native_truth.py:
-        # median within a few sigma of a baseline with a MEASURED seed
-        # scatter; selection agreement floor 0.7 leaves room for
-        # genuine boundary pixels where the 11-nat rule flips on
-        # seed-level evidence scatter in either engine
-        if nt["native400_n_records"] >= 16:
-            ok_native = (nt["native400_dz_sigma_median"] < 4.0
-                         and nt["native400_nbest_agree_frac"] >= 0.7)
-            log(f"bench: native-truth gate "
-                f"{'PASS' if ok_native else 'FAIL'}")
-            ok_agree = ok_agree and ok_native
-        else:
-            log("bench: native-truth artifact too small to gate "
-                f"(n={nt['native400_n_records']})")
+        ok_agree = ok_agree and ok2
 
     value = round(fits_per_sec, 3)
     if not (ok_sel and ok_agree):
@@ -413,17 +465,13 @@ def main():
         log("bench: ACCURACY GATE FAILED -- reporting 0")
         value = 0.0
 
-    return {
-        "metric": "spectra_fit_per_sec_per_chip",
+    RESULT.update({
         "value": value,
-        "unit": "ladder-fits/s/chip",
         "vs_baseline": round(value / cpu_rate, 2),
-        "timed_clean": bool(timed_clean),
-        "warmup_s": round(t_warm, 1),
-        "precompile": pre,
-        "evals_per_pixel": int(evals_px),
         "gates": gates,
-    }
+    })
+    RESULT.pop("partial", None)
+    return RESULT
 
 
 def native_truth_comparison(d11, d22, lnz1, lnz2, null, nbest):
@@ -469,6 +517,11 @@ def native_truth_comparison(d11, d22, lnz1, lnz2, null, nbest):
     if art.get("cube_checksum") != h.hexdigest()[:16]:
         log("bench: native-truth artifact is for a different cube; "
             "skipping")
+        return {}
+    if not art.get("placement"):
+        log("bench: native-truth artifact predates the joint "
+            "placement prior (its rung-2 evidences integrate a "
+            "different prior); skipping")
         return {}
     recs = art.get("records", {})
     if not recs:
@@ -539,24 +592,50 @@ def measure_cpu_baseline(xa11, d11, xa22, d22, noise, nlive, rung1, rung2,
 
         if not native.available():
             raise RuntimeError("native lib unavailable")
+        if remaining() < 45:
+            raise RuntimeError(
+                f"budget too tight ({remaining():.0f}s left); the "
+                "committed native-truth artifact carries the agreement "
+                "gate")
         n_sample = n_sample or int(os.environ.get("BENCH_CPU_PIXELS", "6"))
         box_s = min(float(os.environ.get("BENCH_CPU_BUDGET_S", "150")),
                     max(remaining() - 30, 30))
         utrans = get_irdc_priors(vsys=0.0)
         ppf1 = native.bindings.ppf_tables_from_utrans(utrans, 1)
         ppf2 = native.bindings.ppf_tables_from_utrans(utrans, 2)
+        # joint resolved-placement spec: without it the per-dim tables
+        # drop the minimum-separation constraint and the engine
+        # integrates a different, wider prior for ncomp >= 2
+        plc = native.bindings.placement_spec_from_utrans(utrans)
         t0 = time.perf_counter()
         done = 0
         for i in range(n_sample):
             spec_data = [
                 (xa11, d11[i], noise, 1), (xa22, d22[i], noise, 2),
             ]
+            # every native run is wall-boxed so a single stalled run
+            # can never eat the whole budget (a truncated run returns
+            # a lower-bound lnZ and is excluded from rate + agreement)
+            wall_left = min(box_s - (time.perf_counter() - t0),
+                            remaining() - 25)
+            if wall_left <= 5:
+                break
             res1 = native.ns_spectral_ammonia(
                 spec_data, ppf1, ncomp=1, nlive=nlive, tol=1.0, seed=i,
+                placement=plc, max_wall_s=wall_left,
             )
-            res2 = native.ns_spectral_ammonia(
-                spec_data, ppf2, ncomp=2, nlive=nlive, tol=1.0, seed=i,
-            )
+            wall_left = min(box_s - (time.perf_counter() - t0),
+                            remaining() - 25)
+            res2 = None
+            if not res1["truncated"] and wall_left > 5:
+                res2 = native.ns_spectral_ammonia(
+                    spec_data, ppf2, ncomp=2, nlive=nlive, tol=1.0,
+                    seed=i, placement=plc, max_wall_s=wall_left,
+                )
+            if res2 is None or res2["truncated"]:
+                log(f"bench: CPU baseline pixel {i} truncated by the "
+                    "wall box; dropped")
+                break
             done += 1
             for res, (lnz, lnz_err) in ((res1, rung1), (res2, rung2)):
                 sig = max(
@@ -578,6 +657,17 @@ def measure_cpu_baseline(xa11, d11, xa22, d22, noise, nlive, rung1, rung2,
 
 
 if __name__ == "__main__":
+    # hard deadline: emit the best-known partial JSON BEFORE the
+    # driver's external timeout can SIGKILL us (the r3 run was lost to
+    # rc=124 with no JSON).  SIGALRM's Python handler is deferred while
+    # a C call holds the main thread, so the native baseline runs are
+    # additionally wall-boxed inside C (ns_run max_wall_s) to return
+    # control in time.
+    import signal
+
+    lead = float(os.environ.get("BENCH_DEADLINE_LEAD_S", "45"))
+    signal.signal(signal.SIGALRM, _deadline_emit)
+    signal.alarm(int(max(BUDGET_S - lead, 30)))
     try:
         result = main()
     except Exception as exc:  # always emit the JSON line
@@ -585,10 +675,9 @@ if __name__ == "__main__":
         import traceback
 
         traceback.print_exc(file=sys.stderr)
-        result = {
-            "metric": "spectra_fit_per_sec_per_chip",
-            "value": 0.0,
-            "unit": "ladder-fits/s/chip",
-            "vs_baseline": 0.0,
-        }
+        result = dict(RESULT)
+        result["error"] = repr(exc)
+        if "gates" not in result:
+            result["value"] = 0.0
+    signal.alarm(0)
     print(json.dumps(result))

@@ -19,6 +19,7 @@
 // interpolation on a uniform quantile grid), matching the reference's
 // `Prior`/`Distribution` semantics (core/core.pyx:47-63,169-197).
 
+#include <chrono>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -342,6 +343,7 @@ struct NsOut {
     long n_dead;
     long ncall;
     double max_loglike;
+    bool truncated;   // hit max_iter or the wall-clock box before tol
 };
 
 static double logaddexp(double a, double b)
@@ -356,9 +358,11 @@ static double logaddexp(double a, double b)
 // `run` (reference core/cmultinest.pxd:4-33) for one problem.
 static NsOut ns_run(const NfProblem& P, int nlive, double tol,
                     long max_iter, uint64_t seed,
-                    double* bestfit /*ndim, may be null*/)
+                    double* bestfit /*ndim, may be null*/,
+                    double max_wall_s = 0.0 /*<=0: unbounded*/)
 {
     const int D = P.ndim;
+    const auto t_start = std::chrono::steady_clock::now();
     std::mt19937_64 rng(seed);
     std::uniform_real_distribution<double> U(0.0, 1.0);
     std::normal_distribution<double> N(0.0, 1.0);
@@ -376,6 +380,7 @@ static NsOut ns_run(const NfProblem& P, int nlive, double tol,
     const double inv_l = 1.0 / nlive;
     const double ln_comp = std::log1p(-std::exp(-inv_l));
     long it = 0;
+    bool converged = false;
     for (; it < max_iter; ++it) {
         int worst = 0;
         for (int k = 1; k < nlive; ++k) if (lnl[k] < lnl[worst]) worst = k;
@@ -497,7 +502,18 @@ static NsOut ns_run(const NfProblem& P, int nlive, double tol,
         double lnl_max = lnl[0];
         for (int k = 1; k < nlive; ++k) if (lnl[k] > lnl_max) lnl_max = lnl[k];
         const double lnx = -(double)(it + 1) * inv_l;
-        if (logaddexp(lnz, lnx + lnl_max) - lnz < tol) { ++it; break; }
+        if (logaddexp(lnz, lnx + lnl_max) - lnz < tol) {
+            ++it;
+            converged = true;
+            break;
+        }
+        // wall-clock box (checked coarsely; keeps a caller's overall
+        // budget deterministic even when a single run stalls)
+        if (max_wall_s > 0.0 && (it & 63) == 0) {
+            const std::chrono::duration<double> dt =
+                std::chrono::steady_clock::now() - t_start;
+            if (dt.count() > max_wall_s) { ++it; break; }
+        }
     }
     // add live points
     const double lnx = -(double)it * inv_l;
@@ -528,6 +544,7 @@ static NsOut ns_run(const NfProblem& P, int nlive, double tol,
     out.n_dead = it;
     out.ncall = ncall;
     out.max_loglike = max_lnl_seen;
+    out.truncated = !converged;
     return out;
 }
 
@@ -567,7 +584,8 @@ void nf_ns_spectral(
     const double* noise, const int* para, const int* level_n,
     const double* ea, double brot, double crot,
     int nlive, double tol, long max_iter, uint64_t seed,
-    double* out6, double* bestfit)
+    double max_wall_s,
+    double* out7, double* bestfit)
 {
     NfProblem P;
     P.kind = kind;
@@ -614,10 +632,10 @@ void nf_ns_spectral(
     P.tau_scratch.resize(max_chan);
     P.pred_scratch.resize(max_chan);
     P.theta_scratch.resize(P.ndim);
-    NsOut o = ns_run(P, nlive, tol, max_iter, seed, bestfit);
-    out6[0] = o.lnz; out6[1] = o.lnz_err; out6[2] = o.h;
-    out6[3] = (double)o.n_dead; out6[4] = (double)o.ncall;
-    out6[5] = o.max_loglike;
+    NsOut o = ns_run(P, nlive, tol, max_iter, seed, bestfit, max_wall_s);
+    out7[0] = o.lnz; out7[1] = o.lnz_err; out7[2] = o.h;
+    out7[3] = (double)o.n_dead; out7[4] = (double)o.ncall;
+    out7[5] = o.max_loglike; out7[6] = o.truncated ? 1.0 : 0.0;
 }
 
 // Direct prior transform (for parity tests): per-dim PPF tables plus

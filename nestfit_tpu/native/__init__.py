@@ -3,4 +3,5 @@ from nestfit_tpu.native.bindings import (
     ns_gaussian,
     ns_spectral_ammonia,
     amm_predict_native,
+    transform_native,
 )

@@ -29,14 +29,18 @@ def _load():
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True
-    if not _LIB_PATH.exists():
+    src = _CPP_DIR / "nestfit_native.cpp"
+    stale = (_LIB_PATH.exists() and src.exists()
+             and _LIB_PATH.stat().st_mtime < src.stat().st_mtime)
+    if not _LIB_PATH.exists() or stale:
         try:
             subprocess.run(
-                ["make", "-C", str(_CPP_DIR)], check=True,
+                ["make", "-B", "-C", str(_CPP_DIR)], check=True,
                 capture_output=True, timeout=120,
             )
         except Exception:
-            return None
+            if not _LIB_PATH.exists():
+                return None
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))
     except OSError:
@@ -54,6 +58,7 @@ def _load():
         _I, _D, _D,
         _D, _I, _I, _D, ctypes.c_double, ctypes.c_double,
         ctypes.c_int, ctypes.c_double, ctypes.c_long, ctypes.c_uint64,
+        ctypes.c_double,
         _D, _D,
     ]
     lib.nf_amm_predict.argtypes = [
@@ -61,6 +66,12 @@ def _load():
         ctypes.c_double, ctypes.c_int, _D, _D,
         ctypes.c_int, ctypes.c_int, ctypes.c_double,
         ctypes.c_double, ctypes.c_double,
+        _D, ctypes.c_int, _D,
+    ]
+    lib.nf_transform.argtypes = [
+        ctypes.c_int, ctypes.c_int,
+        _D, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_double, _D, _D, ctypes.c_int,
         _D, ctypes.c_int, _D,
     ]
     _LIB = lib
@@ -110,12 +121,15 @@ def ppf_tables_from_utrans(utrans, ncomp, n=2001):
 
     u = np.linspace(0.0, 1.0, n)
     ndim = utrans.n_param * ncomp
-    tabs = np.zeros((ndim, n))
-    for i, ui in enumerate(u):
-        cube = np.full((ndim,), ui)
-        theta = np.asarray(utrans.transform(jnp.asarray(cube), ncomp))
-        tabs[:, i] = theta
-    return np.ascontiguousarray(tabs)
+    # one batched (n, ndim) transform: row i is the constant-u_i cube.
+    # (The per-row loop this replaces issued n separate device
+    # dispatches, which through a remote-tunneled backend took
+    # unbounded wall -- the cause of the r3 bench timeout.)
+    cube = np.broadcast_to(u[:, None], (n, ndim))
+    theta = np.asarray(
+        utrans.transform(jnp.asarray(np.ascontiguousarray(cube)), ncomp)
+    )
+    return np.ascontiguousarray(theta.T, dtype=np.float64)
 
 
 def placement_spec_from_utrans(utrans):
@@ -138,8 +152,42 @@ def placement_spec_from_utrans(utrans):
     return None
 
 
+def transform_native(utrans, ncomp, u, ppf=None, placement=None, n_tab=2001):
+    """Apply the C++ engine's prior transform (per-dim PPF tables plus
+    the joint resolved-placement overwrite) to unit cubes ``u``
+    [n_pts, ndim] -- the exact code path ``nf_ns_spectral`` integrates,
+    exposed for parity tests against ``PriorTransformer.transform``."""
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    n_params = utrans.n_param
+    if ppf is None:
+        ppf = ppf_tables_from_utrans(utrans, ncomp, n=n_tab)
+    if placement is None:
+        placement = placement_spec_from_utrans(utrans)
+    u = np.ascontiguousarray(u, dtype=np.float64)
+    assert u.ndim == 2 and u.shape[1] == n_params * ncomp
+    theta = np.zeros_like(u)
+    if placement is not None:
+        p_voff, p_sigm, sep_scale, plc_xax, plc_pdf = placement
+        plc_n = plc_xax.shape[0]
+    else:
+        p_voff, p_sigm, sep_scale = -1, -1, 0.0
+        plc_xax = plc_pdf = np.zeros(1)
+        plc_n = 0
+    lib.nf_transform(
+        ncomp, n_params,
+        np.ascontiguousarray(ppf, dtype=np.float64), ppf.shape[1],
+        p_voff, p_sigm, sep_scale,
+        np.ascontiguousarray(plc_xax, dtype=np.float64),
+        np.ascontiguousarray(plc_pdf, dtype=np.float64), plc_n,
+        u, u.shape[0], theta,
+    )
+    return theta
+
+
 def ns_spectral_ammonia(spectra_data, ppf, ncomp=1, nlive=100, tol=1.0,
-                        max_iter=200000, seed=0, placement=None):
+                        max_iter=200000, seed=0, placement=None,
+                        max_wall_s=0.0):
     """Sequential C++ ammonia fit.
 
     spectra_data: list of (xarr, data, noise, trans_id).
@@ -148,6 +196,9 @@ def ns_spectral_ammonia(spectra_data, ppf, ncomp=1, nlive=100, tol=1.0,
         :func:`placement_spec_from_utrans`; REQUIRED for correct
         ncomp >= 2 evidences under placement priors (the independent
         tables drop the minimum-separation constraint).
+    max_wall_s: wall-clock box for the run (<= 0: unbounded).  A boxed
+        run that did not reach the evidence tolerance returns with
+        ``truncated=True`` (its lnZ is a lower bound, not an estimate).
     """
     lib = _load()
     assert lib is not None, "native library unavailable"
@@ -170,8 +221,15 @@ def ns_spectral_ammonia(spectra_data, ppf, ncomp=1, nlive=100, tol=1.0,
         para.append(1 if t.para else 0)
         level_n.append(t.n)
         ea.append(t.ea)
-    out = np.zeros(6)
+    out = np.zeros(7)
     bestfit = np.zeros(6 * ncomp)
+    if placement is not None and ncomp > 16:
+        # the C++ engine caps the placement spec at 16 components and
+        # would silently integrate the (wider) independent-table prior
+        raise ValueError(
+            f"placement spec supports ncomp <= 16, got {ncomp}: the "
+            "engine would silently integrate a different prior"
+        )
     if placement is not None:
         p_voff, p_sigm, sep_scale, plc_xax, plc_pdf = placement
         plc_n = plc_xax.shape[0]
@@ -198,11 +256,14 @@ def ns_spectral_ammonia(spectra_data, ppf, ncomp=1, nlive=100, tol=1.0,
         np.asarray(ea, dtype=np.float64),
         BROT, CROT,
         nlive, tol, max_iter, seed,
+        float(max_wall_s),
         out, bestfit,
     )
     res = dict(zip(
-        ["lnz", "lnz_err", "h", "n_dead", "ncall", "max_loglike"], out
+        ["lnz", "lnz_err", "h", "n_dead", "ncall", "max_loglike"],
+        out[:6],
     ))
+    res["truncated"] = bool(out[6])
     res["bestfit"] = bestfit
     return res
 

@@ -36,6 +36,55 @@ def test_native_predict_matches_oracle():
         np.testing.assert_allclose(p_native, p_oracle, rtol=1e-12, atol=1e-14)
 
 
+def test_native_transform_parity_irdc():
+    """The C++ engine's prior transform (per-dim PPF tables + joint
+    resolved-placement overwrite, the exact path ``nf_ns_spectral``
+    integrates) must match ``PriorTransformer.transform`` on random
+    unit cubes for ncomp = 1..3.  Guards the CPU baseline / native
+    truth against integrating a different prior than the TPU sampler
+    (the placement coupling is NOT representable by per-dim tables)."""
+    from nestfit_tpu.priors import get_irdc_priors
+
+    utrans = get_irdc_priors(vsys=0.0)
+    rng = np.random.default_rng(7)
+    voff_dx = float(utrans.priors[0].dist.dx)   # centroid grid cell
+    for ncomp in (1, 2, 3):
+        ndim = utrans.n_param * ncomp
+        u = rng.uniform(0.02, 0.98, size=(256, ndim))
+        th_py = np.asarray(utrans.transform(jnp.asarray(u), ncomp),
+                           dtype=np.float64)
+        th_py = th_py.reshape(-1, utrans.n_param, ncomp)
+        th_c = native.transform_native(utrans, ncomp, u)
+        th_c = th_c.reshape(-1, utrans.n_param, ncomp)
+        # independent dims: table sub-sampling error only
+        for p in (1, 2, 3, 4, 5):
+            np.testing.assert_allclose(
+                th_c[:, p], th_py[:, p], atol=5e-3,
+                err_msg=f"ncomp={ncomp} p_ix={p}",
+            )
+        # placement (voff) dims: two independent implementations of
+        # the tapered interval inversion; the Python O(1)-memory f32
+        # path is documented accurate to ~2.5 grid cells on narrow
+        # intervals (distributions.py), so gate max error at 5 cells
+        # and median at 1 cell
+        err = np.abs(th_c[:, 0] - th_py[:, 0])
+        assert np.median(err) < 1.0 * voff_dx, (ncomp, np.median(err))
+        assert err.max() < 5.0 * voff_dx, (ncomp, err.max())
+        if ncomp >= 2:
+            # ordering + minimum resolved separation hold in both
+            assert np.all(np.diff(th_c[:, 0], axis=-1) > 0)
+            pr = utrans.priors[0]
+            sig = th_c[:, 4]
+            min_sep = pr.sep_scale * np.sqrt(sig[:, 1:] * sig[:, :-1])
+            # separations are shrunk to fit when their sum exceeds the
+            # centroid range (priors.py:222-227)
+            v_range = float(pr.dist.xmax - pr.dist.xmin)
+            sep_tot = min_sep.sum(axis=-1, keepdims=True)
+            min_sep = min_sep * np.minimum(1.0, v_range / sep_tot)
+            gap = np.diff(th_c[:, 0], axis=-1)
+            assert np.all(gap >= min_sep * 0.9 - 1e-6)
+
+
 def test_native_ns_gaussian_evidence():
     ndim, sigma = 6, 0.05
     lnz_true = 0.5 * ndim * np.log(2 * np.pi * sigma**2)

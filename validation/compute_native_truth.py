@@ -52,7 +52,7 @@ def cube_checksum(d11, d22):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pixels", type=int, default=32)
+    ap.add_argument("--pixels", type=int, default=48)
     ap.add_argument("--seeds", type=int, default=1)
     ap.add_argument("--extra-seed-pixels", type=int, default=8)
     ap.add_argument("--extra-seeds", type=int, default=2)
@@ -70,6 +70,12 @@ def main():
     utrans = get_irdc_priors(vsys=0.0)
     ppf = {1: native.bindings.ppf_tables_from_utrans(utrans, 1),
            2: native.bindings.ppf_tables_from_utrans(utrans, 2)}
+    # joint resolved-placement spec: the per-dim PPF tables alone drop
+    # the minimum-separation constraint, so without this the engine
+    # integrates a different, wider ncomp>=2 prior than the TPU
+    # sampler (measured at up to thousands of nats on close pairs)
+    plc = native.bindings.placement_spec_from_utrans(utrans)
+    assert plc is not None
 
     art = {
         "bench_seed": bench_seed,
@@ -77,6 +83,7 @@ def main():
         "n_pix": 1024,
         "nlive": NLIVE,
         "tol": TOL,
+        "placement": True,
         "cube_checksum": cube_checksum(d11, d22),
         "records": {},
     }
@@ -84,7 +91,8 @@ def main():
         with open(OUT) as fh:
             prev = json.load(fh)
         if prev.get("cube_checksum") == art["cube_checksum"] \
-                and prev.get("nlive") == NLIVE:
+                and prev.get("nlive") == NLIVE \
+                and prev.get("placement"):
             art = prev
             art.setdefault("records", {})
 
@@ -103,7 +111,8 @@ def main():
         out = {}
         for n in (1, 2):
             r = native.ns_spectral_ammonia(
-                sd, ppf[n], ncomp=n, nlive=NLIVE, tol=TOL, seed=seed)
+                sd, ppf[n], ncomp=n, nlive=NLIVE, tol=TOL, seed=seed,
+                placement=plc)
             out[f"lnz{n}"] = float(r["lnz"])
             out[f"lnz{n}_err"] = float(r["lnz_err"])
             out[f"ncall{n}"] = int(r["ncall"])
