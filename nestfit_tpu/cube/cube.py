@@ -12,6 +12,145 @@ import numpy as np
 
 from nestfit_tpu.constants import CKMS
 from nestfit_tpu.cube.fits_io import read_fits
+from nestfit_tpu.utils import get_logger
+
+log = get_logger("nestfit_tpu.cube")
+
+_KBOL = 1.380649e-23      # J/K (SI, exact)
+_JY = 1.0e-26             # W m^-2 Hz^-1 per jansky
+
+
+def beam_solid_angle(header):
+    """Gaussian beam solid angle [sr] from header BMAJ/BMIN (degrees),
+    ``pi * theta_maj * theta_min / (4 ln 2)``; None when absent."""
+    bmaj = header.get("BMAJ")
+    if bmaj is None:
+        return None
+    bmin = header.get("BMIN", bmaj)
+    return (np.pi * np.deg2rad(float(bmaj)) * np.deg2rad(float(bmin))
+            / (4.0 * np.log(2.0)))
+
+
+def pixel_solid_angle(header):
+    """Sky-pixel solid angle [sr] from CDELT1/CDELT2 (degrees)."""
+    cd1 = header.get("CDELT1")
+    cd2 = header.get("CDELT2", cd1)
+    if cd1 is None:
+        return None
+    return abs(np.deg2rad(float(cd1)) * np.deg2rad(float(cd2)))
+
+
+def brightness_scale(bunit, header, xarr):
+    """Per-channel factor converting ``bunit`` intensities to Kelvin.
+
+    The role of ``spectral_cube.to('K')`` in the reference
+    (main.py:134-141): Rayleigh-Jeans brightness temperature
+    ``T = S * 1e-26 * c^2 / (2 k_B nu^2 Omega)`` with the beam solid
+    angle from the header for Jy/beam data (per-channel frequency, so
+    the factor is an [S] array), or the pixel solid angle for
+    Jy/pixel.  Returns scalar 1.0 for Kelvin data; raises on units it
+    cannot convert (silently mis-scaled spectra would corrupt every
+    evidence downstream).
+    """
+    u = str(bunit or "").strip().lower()
+    # strip common annotations: "K (Ta*)", "Kelvin"
+    base = u.split("(")[0].strip()
+    if base in ("", "k", "kelvin", "k (ta*)", "ta*", "tmb"):
+        if base == "":
+            log.info("no BUNIT: assuming cube intensity units of K")
+        return 1.0
+    scale = 1.0
+    if base.startswith("m") and "jy" in base:
+        scale, base = 1e-3, base[1:]
+    if base in ("jy/beam", "jy / beam", "jy beam-1", "jy beam^-1"):
+        omega = beam_solid_angle(header)
+        if omega is None:
+            raise ValueError(
+                "BUNIT=Jy/beam requires BMAJ/BMIN beam keywords for "
+                "the K conversion"
+            )
+    elif base in ("jy/pixel", "jy/pix"):
+        omega = pixel_solid_angle(header)
+        if omega is None:
+            raise ValueError(
+                "BUNIT=Jy/pixel requires CDELT1/CDELT2 for the K "
+                "conversion"
+            )
+    elif base in ("jy/sr",):
+        omega = 1.0
+    else:
+        raise ValueError(
+            f"cannot convert BUNIT={bunit!r} to K (supported: K, "
+            "Jy/beam, mJy/beam, Jy/pixel, Jy/sr)"
+        )
+    c_ms = CKMS * 1e3
+    nu = np.asarray(xarr, dtype=np.float64)
+    return scale * _JY * c_ms**2 / (2.0 * _KBOL * nu**2 * omega)
+
+
+def spectral_axis_hz(header, n_s=None):
+    """Frequency axis [Hz, FITS channel order] from a FITS header.
+
+    Covers the spectral conventions the reference gets from
+    spectral_cube's ``with_spectral_unit('Hz')`` (main.py:142-146):
+
+    * ``FREQ`` with CUNIT3 Hz/kHz/MHz/GHz;
+    * ``VRAD`` -- radio velocity, ``nu = nu0 (1 - v/c)``;
+    * ``VOPT``/``FELO`` -- optical velocity, ``nu = nu0 / (1 + v/c)``;
+    * ``VELO`` -- AIPS convention: radio when ``VELREF >= 257``,
+      optical for ``VELREF`` 1..3, relativistic apparent radial
+      velocity ``nu = nu0 sqrt((1-b)/(1+b))`` otherwise (Greisen 2006,
+      FITS WCS Paper III sec. 2.2).
+
+    Velocity axes require a rest frequency (RESTFRQ/RESTFREQ).
+    """
+    if n_s is None:
+        n_s = header["NAXIS3"]
+    ctype3 = str(header.get("CTYPE3", "FREQ")).upper()
+    crval = header["CRVAL3"]
+    cdelt = header["CDELT3"]
+    crpix = header.get("CRPIX3", 1)
+    axis = crval + (np.arange(n_s) + 1 - crpix) * cdelt
+    kind = ctype3.split("-")[0]
+    rest = header.get("RESTFRQ", header.get("RESTFREQ"))
+    if kind == "FREQ":
+        unit = str(header.get("CUNIT3", "Hz")).strip().lower()
+        mult = {"hz": 1.0, "khz": 1e3, "mhz": 1e6, "ghz": 1e9}.get(unit)
+        if mult is None:
+            raise ValueError(f"unsupported frequency CUNIT3={unit!r}")
+        return axis * mult, rest
+    # velocity axis in km/s
+    unit = str(header.get("CUNIT3", "m/s")).strip().lower()
+    if unit in ("m/s", "m s-1", "ms-1", ""):
+        vel = axis / 1000.0
+    elif unit in ("km/s", "km s-1", "kms-1"):
+        vel = axis
+    else:
+        raise ValueError(f"unsupported velocity CUNIT3={unit!r}")
+    if not rest:
+        raise ValueError("velocity spectral axis requires RESTFRQ")
+    if kind == "VRAD":
+        conv = "radio"
+    elif kind in ("VOPT", "FELO"):
+        conv = "optical"
+    elif kind == "VELO":
+        velref = header.get("VELREF")
+        if velref is not None and int(velref) >= 257:
+            conv = "radio"
+        elif velref is not None and 1 <= int(velref) <= 3:
+            conv = "optical"
+        else:
+            conv = "relativistic"
+    else:
+        raise ValueError(f"unsupported spectral CTYPE3={ctype3!r}")
+    beta = vel / CKMS
+    if conv == "radio":
+        xarr = rest * (1.0 - beta)
+    elif conv == "optical":
+        xarr = rest / (1.0 + beta)
+    else:
+        xarr = rest * np.sqrt((1.0 - beta) / (1.0 + beta))
+    return xarr, rest
 
 
 class NoiseMap:
@@ -106,26 +245,38 @@ class DataCube:
             assert self.spatial_shape == self.noise_map.shape
 
     @classmethod
-    def from_fits(cls, path, noise_map=None, trans_id=None):
-        """Read a FITS cube with a FREQ or VRAD spectral axis."""
+    def from_fits(cls, path, noise_map=None, trans_id=None,
+                  mask_channels=None):
+        """Read a FITS cube, converting units to K / Hz.
+
+        Covers the reference's spectral_cube-based ingestion semantics
+        (main.py:134-153) without spectral_cube: FREQ (any standard
+        CUNIT3) and VRAD/VOPT/FELO/VELO velocity conventions on the
+        spectral axis (:func:`spectral_axis_hz`), and BUNIT conversion
+        of K / Jy/beam / mJy/beam / Jy/pixel / Jy/sr intensities to
+        brightness temperature (:func:`brightness_scale`, using the
+        header beam).  ``mask_channels`` (indices in FITS channel
+        order, e.g. noisy band edges) are dropped from both the data
+        and the axis.
+        """
         data, header = read_fits(path)
         if data.ndim == 4:
             data = data[0]
         assert data.ndim == 3, data.shape
         n_s = header.get("NAXIS3", data.shape[0])
-        ctype3 = str(header.get("CTYPE3", "FREQ")).upper()
-        crval = header["CRVAL3"]
-        cdelt = header["CDELT3"]
-        crpix = header.get("CRPIX3", 1)
-        axis = crval + (np.arange(n_s) + 1 - crpix) * cdelt
-        rest = header.get("RESTFRQ", header.get("RESTFREQ"))
-        if ctype3.startswith("VRAD") or ctype3.startswith("VELO"):
-            unit = str(header.get("CUNIT3", "m/s")).lower()
-            vel = axis / 1000.0 if unit.startswith("m") else axis
-            assert rest, "velocity axis requires RESTFRQ"
-            xarr = rest * (1.0 - vel / CKMS)
-        else:
-            xarr = axis
+        xarr, rest = spectral_axis_hz(header, n_s)
+        scale = brightness_scale(header.get("BUNIT"), header, xarr)
+        if np.ndim(scale):
+            # per-channel factor (Jy -> K depends on nu); data is in
+            # FITS (S, b, l) order here
+            data = data * np.asarray(scale).reshape(-1, 1, 1)
+        elif scale != 1.0:
+            data = data * scale
+        if mask_channels is not None:
+            keep = np.ones(n_s, dtype=bool)
+            keep[np.asarray(mask_channels, dtype=np.int64)] = False
+            xarr = xarr[keep]
+            data = data[keep]
         if xarr[1] < xarr[0]:
             xarr = xarr[::-1].copy()
             data = data[::-1].copy()

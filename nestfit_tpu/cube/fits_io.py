@@ -97,8 +97,16 @@ def read_fits(path):
         # FITS order: NAXIS1 varies fastest -> numpy shape reversed
         data = data.reshape(shape[::-1])
         data = data.astype(data.dtype.newbyteorder("="))
+        # BLANK marks undefined pixels of integer data (FITS 4.0
+        # sec. 5.3); map them to NaN like astropy does
+        blank_mask = None
+        if "BLANK" in header and data.dtype.kind in "iu":
+            blank_mask = data == header["BLANK"]
         if "BSCALE" in header or "BZERO" in header:
             data = data * header.get("BSCALE", 1.0) + header.get("BZERO", 0.0)
+        if blank_mask is not None and blank_mask.any():
+            data = data.astype(np.float64, copy=False)
+            data[blank_mask] = np.nan
     return data, header
 
 

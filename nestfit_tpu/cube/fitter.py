@@ -163,7 +163,7 @@ class CubeFitter:
         valid_ix = np.nonzero(valid)[0]
 
         if host_shard:
-            from nestfit_tpu.parallel.distributed import host_pixel_shard
+            from nestfit_tpu.parallel.distributed import host_pixel_stripe
             pi = jax.process_index() if process_id is None else process_id
             pc = jax.process_count() if process_count is None \
                 else process_count
@@ -185,8 +185,9 @@ class CubeFitter:
             valid_ix = np.setdiff1d(valid_ix, done)
             log.info("fit_cube: resume skips %d completed pixels", done.size)
         if host_shard:
-            lo_s, hi_s = host_pixel_shard(valid_ix.size, pi, pc)
-            shard_ix = valid_ix[lo_s:hi_s]
+            # interleaved stripe, not a contiguous range: spatially
+            # clustered signal (slow pixels) spreads evenly over hosts
+            shard_ix = valid_ix[host_pixel_stripe(valid_ix.size, pi, pc)]
             log.info("fit_cube: host %d/%d owns %d of %d valid pixels",
                      pi, pc, shard_ix.size, valid_ix.size)
         else:

@@ -517,10 +517,23 @@ def _batched_map_predict(store, stack, runner):
         return pmap, valid, (l_ix, b_ix, m_ix), []
     params_dev = jnp.asarray(params_1c, dtype=jnp.float32)
     preds = []
+    predict = _predict_jit(runner.model)
     for spec in runner.spectra:
-        pred = jax.jit(runner.model.model_predict)(spec, params_dev)
+        pred = predict(spec, params_dev)
         preds.append(np.asarray(pred))
     return pmap, valid, (l_ix, b_ix, m_ix), preds
+
+
+# memoized per model module: a fresh jax.jit wrapper per call would
+# retrace model_predict on every postprocess invocation
+_PREDICT_JIT = {}
+
+
+def _predict_jit(model):
+    key = id(model)
+    if key not in _PREDICT_JIT:
+        _PREDICT_JIT[key] = (jax.jit(model.model_predict), model)
+    return _PREDICT_JIT[key][0]
 
 
 def deblend_hf_intensity(store, stack, runner):

@@ -8,5 +8,6 @@ from nestfit_tpu.parallel.mesh import (
 from nestfit_tpu.parallel.distributed import (
     host_chunk_name,
     host_pixel_shard,
+    host_pixel_stripe,
     initialize_distributed,
 )

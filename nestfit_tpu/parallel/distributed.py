@@ -48,16 +48,33 @@ def initialize_distributed(coordinator_address=None, num_processes=None,
 def host_pixel_shard(n_pix, process_index=None, process_count=None):
     """Contiguous flat-pixel range owned by this host.
 
-    Each host fits its own shard and writes its own chunk file --
-    the multi-host version of the reference's per-process pixel
-    striping (main.py:565-571) with no inter-host communication.
-
     Returns (lo, hi) bounds into the flattened pixel index space.
+    Prefer :func:`host_pixel_stripe` for fitting work: a contiguous
+    range hands one host all the slow pixels when signal clusters
+    spatially; this helper remains for consumers that need contiguous
+    IO extents.
     """
     pi = jax.process_index() if process_index is None else process_index
     pc = jax.process_count() if process_count is None else process_count
     bounds = np.linspace(0, n_pix, pc + 1).astype(int)
     return int(bounds[pi]), int(bounds[pi + 1])
+
+
+def host_pixel_stripe(n_pix, process_index=None, process_count=None):
+    """Interleaved flat-pixel indices owned by this host.
+
+    Striping (pixel ``i`` -> host ``i % process_count``) balances
+    spatially clustered signal across hosts -- the multi-host analogue
+    of the reference's longitude-interleaved worker striping
+    (reference main.py:565-571).  Each host fits its own stripe and
+    writes its own chunk files with no inter-host communication.
+
+    Returns an int index array into the flattened pixel index space;
+    the stripes of all hosts partition ``range(n_pix)`` exactly.
+    """
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    return np.arange(pi, n_pix, pc)
 
 
 def host_chunk_name(prefix="chunk"):

@@ -7,9 +7,13 @@ getdist, plotting.py:891-958), and the kernel-precision verification
 plot (plotting.py:1031-1060, against the float64 oracle instead of
 pyspeckit).
 
-Axes are labeled in pixel coordinates with the linear sky offsets from
-the simple header when available (the reference draws full WCS axes via
-astropy; astropy is not available in this environment).
+Maps carry absolute world-coordinate (RA/Dec or GLON/GLAT) tick labels
+computed from the stored header via the in-repo exact celestial WCS
+(:mod:`nestfit_tpu.wcs`; the reference uses astropy WCS projection
+axes, plotting.py:162).  When the header carries no usable WCS the
+axes fall back to linear sky offsets, then to raw pixel indices.
+Figure layout follows the reference's absolute-inches
+:class:`PaddingConfig` system (reference plotting.py:93-145).
 """
 
 import numpy as np
@@ -18,6 +22,7 @@ import matplotlib
 matplotlib.use("Agg")
 import matplotlib.pyplot as plt
 from matplotlib import colors as mcolors
+from matplotlib import ticker as mticker
 
 from nestfit_tpu.sampling.results import MARGINAL_COLS
 
@@ -25,10 +30,86 @@ from nestfit_tpu.sampling.results import MARGINAL_COLS
 _CMAP = "viridis"
 
 
+def format_ra_hms(ra_deg):
+    """Right ascension [deg] -> ``h:mm:ss.s`` sexagesimal string."""
+    h = (ra_deg % 360.0) / 15.0
+    hh = int(h)
+    m = (h - hh) * 60.0
+    mm = int(m)
+    ss = (m - mm) * 60.0
+    return f"{hh:d}:{mm:02d}:{ss:04.1f}"
+
+
+def format_dec_dms(dec_deg):
+    """Declination [deg] -> ``+d:mm:ss`` sexagesimal string."""
+    sign = "-" if dec_deg < 0 else "+"
+    d = abs(dec_deg)
+    dd = int(d)
+    m = (d - dd) * 60.0
+    mm = int(m)
+    ss = (m - mm) * 60.0
+    return f"{sign}{dd:d}:{mm:02d}:{ss:02.0f}"
+
+
+class PaddingConfig:
+    """Absolute-inches figure layout (reference plotting.py:93-145).
+
+    Edge paddings, subplot separations, and the colorbar width are
+    specified in inches and converted to figure fractions at layout
+    time, so panel sizes stay constant across map shapes.
+    """
+
+    def __init__(self, edge_pads=(0.7, 0.8, 0.6, 0.3),
+                 sep_pads=(0.2, 0.2), cbar_width=0.15,
+                 inch_per_pix=1.8e-2):
+        self.edge_pads = edge_pads
+        self.sep_pads = sep_pads
+        self.cbar_width = cbar_width
+        self.inch_per_pix = inch_per_pix
+
+    def get_figsize(self, shape, nrows=1, ncols=1):
+        """Figure size for an ``nrows x ncols`` grid of ``shape`` =
+        (n_lon, n_lat) panels at ``inch_per_pix`` scale."""
+        n_lon, n_lat = shape
+        p_l, p_r, p_b, p_t = self.edge_pads
+        p_w, p_h = self.sep_pads
+        panel_w = max(n_lon * self.inch_per_pix, 1.0)
+        panel_h = max(n_lat * self.inch_per_pix, 1.0)
+        width = p_l + p_r + ncols * panel_w + (ncols - 1) * p_w
+        height = p_b + p_t + nrows * panel_h + (nrows - 1) * p_h
+        return width, height
+
+    def get_colorbar_axis(self, fig=None):
+        """(left, bottom, width, height) figure-fraction rect for a
+        right-edge colorbar axes."""
+        fig = fig or plt.gcf()
+        f_w, f_h = fig.get_size_inches()
+        p_l, p_r, p_b, p_t = self.edge_pads
+        p_w, p_h = self.sep_pads
+        left = 1 - (p_r + self.cbar_width - p_w) / f_w
+        bottom = p_b / f_h
+        width = self.cbar_width / f_w
+        height = 1 - (p_b + p_t) / f_h
+        return left, bottom, width, height
+
+    def subplots_adjust(self, fig=None, colorbar=False):
+        fig = fig or plt.gcf()
+        f_w, f_h = fig.get_size_inches()
+        p_l, p_r, p_b, p_t = self.edge_pads
+        p_w, p_h = self.sep_pads
+        right = 1 - p_r / f_w
+        if colorbar:
+            right -= self.cbar_width / f_w
+        fig.subplots_adjust(
+            left=p_l / f_w, right=right, bottom=p_b / f_h,
+            top=1 - p_t / f_h, wspace=p_w / f_w, hspace=p_h / f_h,
+        )
+
+
 class StorePlotter:
     """Map plotting over store products (reference plotting.py:147-336)."""
 
-    def __init__(self, store, plot_dir="plots"):
+    def __init__(self, store, plot_dir="plots", pad=None):
         from pathlib import Path
 
         self.store = store
@@ -39,30 +120,50 @@ class StorePlotter:
         self.n_lon = int(self.hdf.attrs["naxis1"])
         self.n_lat = int(self.hdf.attrs["naxis2"])
         self.par_names = list(self.hdf.attrs.get("par_names", []))
-        # linear sky-offset axes from the stored header (the reference
-        # draws full WCS axes via astropy, plotting.py:147-336; without
-        # astropy a linear CDELT/CRPIX offset scale is exact for the
-        # small fields this pipeline maps)
+        self.pad = PaddingConfig() if pad is None else pad
+        # absolute world-coordinate axes via the in-repo exact WCS
+        # (the reference uses astropy projection axes,
+        # plotting.py:162); falls back to linear sky offsets, then to
+        # plain pixel indices
+        self.wcs = None
         self.sky_extent = None
         self.sky_labels = ("longitude pixel", "latitude pixel")
         try:
             hdr = store.read_header(full=False)
-            cd1 = float(hdr.get("CDELT1", 0.0)) * 60.0   # deg -> arcmin
-            cd2 = float(hdr.get("CDELT2", 0.0)) * 60.0
-            cr1 = float(hdr.get("CRPIX1", 1.0)) - 1.0    # FITS 1-based
-            cr2 = float(hdr.get("CRPIX2", 1.0)) - 1.0
-            if cd1 != 0.0 and cd2 != 0.0:
-                self.sky_extent = (
-                    (-0.5 - cr1) * cd1, (self.n_lon - 0.5 - cr1) * cd1,
-                    (-0.5 - cr2) * cd2, (self.n_lat - 0.5 - cr2) * cd2,
-                )
-                ct1 = str(hdr.get("CTYPE1", "RA"))[:8].split("-")[0]
-                ct2 = str(hdr.get("CTYPE2", "DEC"))[:8].split("-")[0]
-                self.sky_labels = (
-                    f"{ct1} offset (arcmin)", f"{ct2} offset (arcmin)"
-                )
         except Exception:
-            pass
+            hdr = {}
+        try:
+            from nestfit_tpu.wcs import CelestialWCS
+
+            self.wcs = CelestialWCS(hdr)
+            names = {"RA": "Right Ascension (J2000)",
+                     "DEC": "Declination (J2000)",
+                     "GLON": "Galactic Longitude",
+                     "GLAT": "Galactic Latitude"}
+            self.sky_labels = (
+                names.get(self.wcs.lon_name, self.wcs.lon_name),
+                names.get(self.wcs.lat_name, self.wcs.lat_name),
+            )
+        except Exception:
+            try:
+                cd1 = float(hdr.get("CDELT1", 0.0)) * 60.0  # deg->arcmin
+                cd2 = float(hdr.get("CDELT2", 0.0)) * 60.0
+                cr1 = float(hdr.get("CRPIX1", 1.0)) - 1.0   # FITS 1-based
+                cr2 = float(hdr.get("CRPIX2", 1.0)) - 1.0
+                if cd1 != 0.0 and cd2 != 0.0:
+                    self.sky_extent = (
+                        (-0.5 - cr1) * cd1,
+                        (self.n_lon - 0.5 - cr1) * cd1,
+                        (-0.5 - cr2) * cd2,
+                        (self.n_lat - 0.5 - cr2) * cd2,
+                    )
+                    ct1 = str(hdr.get("CTYPE1", "RA"))[:8].split("-")[0]
+                    ct2 = str(hdr.get("CTYPE2", "DEC"))[:8].split("-")[0]
+                    self.sky_labels = (
+                        f"{ct1} offset (arcmin)", f"{ct2} offset (arcmin)"
+                    )
+            except Exception:
+                pass
 
     def _save(self, fig, name):
         path = self.plot_dir / f"{name}.pdf"
@@ -70,15 +171,45 @@ class StorePlotter:
         plt.close(fig)
         return path
 
+    def _world_formatters(self):
+        """Tick formatters mapping pixel index -> absolute world
+        coordinate along the field center row/column (exact at the
+        center; the curvature across these small fields is far below a
+        tick width)."""
+        wcs = self.wcs
+        c_lat = (self.n_lat - 1) / 2.0
+        c_lon = (self.n_lon - 1) / 2.0
+        sexa = wcs.lon_name == "RA"
+
+        def fx(p, _pos):
+            lon, _ = wcs.pixel_to_world(p + 1.0, c_lat + 1.0)
+            return format_ra_hms(float(lon)) if sexa \
+                else f"{float(lon):.3f}"
+
+        def fy(p, _pos):
+            _, lat = wcs.pixel_to_world(c_lon + 1.0, p + 1.0)
+            return format_dec_dms(float(lat)) if sexa \
+                else f"{float(lat):.3f}"
+
+        return mticker.FuncFormatter(fx), mticker.FuncFormatter(fy)
+
     def _imshow(self, ax, img, **kwargs):
         # img in (b, l); origin lower to match sky maps.  Axes carry
-        # linear sky offsets from the stored header when available
-        # (WCS-axes analogue, reference plotting.py:147-336).
-        if self.sky_extent is not None:
+        # absolute world tick labels via the exact WCS when available
+        # (reference plotting.py:162), else linear sky offsets.
+        if self.wcs is None and self.sky_extent is not None:
             kwargs.setdefault("extent", self.sky_extent)
             kwargs.setdefault("aspect", "auto")
         im = ax.imshow(img, origin="lower", cmap=kwargs.pop("cmap", _CMAP),
                        **kwargs)
+        if self.wcs is not None:
+            fx, fy = self._world_formatters()
+            ax.xaxis.set_major_formatter(fx)
+            ax.yaxis.set_major_formatter(fy)
+            ax.xaxis.set_major_locator(mticker.MaxNLocator(4))
+            ax.yaxis.set_major_locator(mticker.MaxNLocator(5))
+            for lab in ax.get_xticklabels():
+                lab.set_fontsize(8)
         ax.set_xlabel(self.sky_labels[0])
         ax.set_ylabel(self.sky_labels[1])
         return im
@@ -141,6 +272,70 @@ class StorePlotter:
         fig.colorbar(im, ax=ax, label=f"{kind} intensity [{unit}]")
         name = name or f"map_{kind}_t{trans_ix}_m{m_ix}"
         return self._save(fig, name)
+
+    def plot_deblend_peak(self, name="hf_deblend_peak"):
+        """Deblended peak-intensity figure: per transition, the max
+        over components of the MAP-model peak brightness (reference
+        plotting.py:415-433)."""
+        data = self.hdf[f"{self.dpath}/peak_intensity"][...]  # (t,m,b,l)
+        data = np.nanmax(data, axis=1)                        # (t,b,l)
+        n_trans = data.shape[0]
+        figsize = self.pad.get_figsize((self.n_lon, self.n_lat),
+                                       ncols=n_trans)
+        fig, axes = plt.subplots(1, n_trans, figsize=figsize,
+                                 squeeze=False)
+        vmax = np.nanmax(data) if np.isfinite(data).any() else 1.0
+        for i_t, ax in enumerate(axes[0]):
+            im = self._imshow(ax, data[i_t], cmap="afmhot", vmin=0,
+                              vmax=vmax)
+            if i_t:
+                ax.set_ylabel("")
+                ax.set_yticklabels([])
+        self.pad.subplots_adjust(fig, colorbar=True)
+        cax = fig.add_axes(self.pad.get_colorbar_axis(fig))
+        fig.colorbar(im, cax=cax,
+                     label=r"$\mathrm{max}(\tilde{T}_\mathrm{b})$ [K]")
+        path = self.plot_dir / f"{name}.pdf"
+        fig.savefig(path)
+        plt.close(fig)
+        return path
+
+    def plot_deblend_intintens(self, vmax=10.0,
+                               name="hf_deblend_intintens"):
+        """Deblended integrated-intensity figure: per transition, the
+        component-summed MAP integrated intensity, masked to pixels
+        with a detected first component (reference plotting.py:437-471,
+        matching Keown et al. 2019 fig. 19 preferences)."""
+        data = self.hdf[f"{self.dpath}/integrated_intensity"][...]
+        mask = self.hdf[f"{self.dpath}/peak_intensity"][:, 0]  # (t,b,l)
+        data = np.nansum(data, axis=1)                         # (t,b,l)
+        data[np.isnan(mask)] = np.nan
+        n_trans = data.shape[0]
+        figsize = self.pad.get_figsize((self.n_lon, self.n_lat),
+                                       ncols=n_trans)
+        fig, axes = plt.subplots(1, n_trans, figsize=figsize,
+                                 squeeze=False)
+        if vmax is None:
+            vmax = np.nanmax(data) if np.isfinite(data).any() else 1.0
+            extend = "neither"
+        else:
+            extend = "max"
+        for i_t, ax in enumerate(axes[0]):
+            im = self._imshow(ax, data[i_t], cmap="cividis", vmin=0,
+                              vmax=vmax)
+            if i_t:
+                ax.set_ylabel("")
+                ax.set_yticklabels([])
+        self.pad.subplots_adjust(fig, colorbar=True)
+        cax = fig.add_axes(self.pad.get_colorbar_axis(fig))
+        fig.colorbar(
+            im, cax=cax, extend=extend,
+            label=r"$\int \tilde{T}_\mathrm{b}\,dv$ [K km s$^{-1}$]",
+        )
+        path = self.plot_dir / f"{name}.pdf"
+        fig.savefig(path)
+        plt.close(fig)
+        return path
 
     def plot_spec_fit(self, i_lon, i_lat, stack, runner, name=None,
                       ncomp=None):

@@ -95,10 +95,15 @@ def _install_sampler(key, name, compiled):
     _S._AOT_CACHE[key] = (name, compiled)
 
 
-def _install_finalize(key, name, compiled):
+def _install_finalize(key, name, runner, compiled):
     from nestfit_tpu.sampling import fit as _F
 
-    _F._FINALIZE_AOT[key] = (name, compiled)
+    # the runner rides along as a strong reference: the cache key is
+    # id(runner), so without it a garbage-collected runner could free
+    # its id for reuse by a NEW runner that would then silently hit
+    # this entry (the other fit-level caches pin their runner the same
+    # way)
+    _F._FINALIZE_AOT[key] = (name, compiled, runner)
 
 
 def _sds(x):
@@ -208,7 +213,7 @@ def build_plan(
         name = f"{label}:finalize@{n_runs}"
         tasks.append(_Task(
             name, fin_jit, (ns_t, data_t(n_runs), key_t),
-            partial(_install_finalize, fkey, name),
+            partial(_install_finalize, fkey, name, runner),
         ))
 
     for r in r_classes:

@@ -145,6 +145,10 @@ def fit_batch(
             from nestfit_tpu.sampling.sampler import _AotDispatch
 
             if not isinstance(aot, _AotDispatch):
+                # (name, compiled, runner) installed by sampling.aot;
+                # the runner ref keeps the id()-key from being reused.
+                # The dispatch wrapper pins it transitively via the
+                # _FINALIZE_CACHE fallback closure built above.
                 aot = _AotDispatch(aot[0], aot[1], fin)
                 _FINALIZE_AOT[fkey] = aot
             fin = aot

@@ -295,6 +295,26 @@ class NSConfig:
     #                               fraction f (Fowlie+2020); see
     #                               test_log_zero_floor for the exact
     #                               model
+    init_stratified: bool = True  # Latin-hypercube initial live set:
+    #                               per (run, dim) the L draws hit
+    #                               every 1/L quantile bin exactly once
+    #                               (random in-bin offsets, independent
+    #                               random permutations per column).
+    #                               Marginals stay exactly uniform, so
+    #                               prior sampling is unchanged; the
+    #                               within-column negative dependence
+    #                               only guarantees coverage.  This
+    #                               attacks mode loss at its root: with
+    #                               iid init draws a narrow signal
+    #                               basin (e.g. the ~1% vcen window of
+    #                               an NH3 line) is born empty in
+    #                               (1-f)^L of runs, and once the cube
+    #                               start-up phase ends nothing can
+    #                               rediscover it -- the dominant
+    #                               failure behind the nested-model
+    #                               floor violations the fitter
+    #                               re-fits (fitter.py mode-loss
+    #                               retries; VERDICT r3 item 3).
     init_chunk: int = 32          # live-point chunk for the init evals
     min_compact: int = 64         # smallest compacted batch (segmented
     #                               mode).  Compaction jumps to the
@@ -1057,8 +1077,17 @@ def ns_init(key, loglike2, data, ndim: int, n_runs: int, cfg: NSConfig,
     """Draw and evaluate the initial live-point set."""
     cfg = cfg.resolved(ndim)
     R, L, D = n_runs, cfg.nlive, ndim
-    key, k_init = random.split(key)
+    key, k_init, k_perm = random.split(key, 3)
     u0 = random.uniform(k_init, (L, R, D), dtype=dtype)
+    if cfg.init_stratified and L > 1:
+        # Latin-hypercube stratification (see NSConfig.init_stratified):
+        # independent random permutation per (run, dim) column via the
+        # rank of iid uniform scores; u0 becomes the in-bin offset
+        ranks = jnp.argsort(
+            jnp.argsort(random.uniform(k_perm, (L, R, D)), axis=0),
+            axis=0,
+        )
+        u0 = (ranks.astype(dtype) + u0) / L
     # evaluate the L x R initial points in bounded equal chunks via a
     # scan (lax.map): ONE likelihood trace regardless of chunk count
     # -- the old unrolled Python loop traced the model L/init_chunk
@@ -1816,11 +1845,37 @@ class _AotDispatch:
         self.fallback = fallback
         self.failed = False
 
+    def _is_signature_mismatch(self, args):
+        """Verify a TypeError/ValueError really is a call-signature
+        mismatch by comparing the call's avals against the avals the
+        executable was compiled for -- a data-dependent or transient
+        error with matching avals must propagate, not silently retire
+        the AOT program for the rest of the process."""
+        try:
+            compiled_info = jax.tree_util.tree_leaves(
+                self.compiled.args_info
+            )
+            call_info = [
+                (np.shape(x), jnp.result_type(x))
+                for x in jax.tree_util.tree_leaves(args)
+            ]
+            if len(compiled_info) != len(call_info):
+                return True
+            return any(
+                tuple(ci.shape) != tuple(s) or jnp.dtype(ci.dtype) != d
+                for ci, (s, d) in zip(compiled_info, call_info)
+            )
+        except Exception:
+            # cannot introspect -> preserve the old permissive behavior
+            return True
+
     def __call__(self, *args):
         if not self.failed:
             try:
                 return self.compiled(*args)
             except (TypeError, ValueError) as exc:
+                if not self._is_signature_mismatch(args):
+                    raise
                 self.failed = True
                 import warnings
 

@@ -188,6 +188,8 @@ def test_store_plotter(synth_stack, fitted_store_name, tmp_path):
             sp.plot_param_map(0, kind="error"),
             sp.plot_intensity(kind="peak"),
             sp.plot_intensity(kind="int"),
+            sp.plot_deblend_peak(),
+            sp.plot_deblend_intintens(),
             sp.plot_3d_volume(),
             sp.plot_post_stack(0, 0),
             sp.plot_spec_fit(0, 0, stack, runner),

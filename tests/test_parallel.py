@@ -182,7 +182,8 @@ def test_two_process_store_shards(tmp_path):
 def test_distributed_single_process():
     """Multi-host utilities degrade to no-ops on one process."""
     from nestfit_tpu.parallel.distributed import (
-        host_chunk_name, host_pixel_shard, initialize_distributed,
+        host_chunk_name, host_pixel_shard, host_pixel_stripe,
+        initialize_distributed,
     )
 
     assert initialize_distributed() is False
@@ -192,6 +193,16 @@ def test_distributed_single_process():
     spans = [host_pixel_shard(103, i, 4) for i in range(4)]
     assert spans[0][0] == 0 and spans[-1][1] == 103
     assert all(a[1] == b[0] for a, b in zip(spans, spans[1:]))
+    # interleaved stripes partition the range exactly and balance a
+    # contiguous cluster of slow pixels across hosts
+    stripes = [host_pixel_stripe(103, i, 4) for i in range(4)]
+    cat = np.sort(np.concatenate(stripes))
+    assert np.array_equal(cat, np.arange(103))
+    slow = np.zeros(103, bool)
+    slow[40:60] = True  # clustered "slow" block
+    per_host = [int(slow[s].sum()) for s in stripes]
+    assert max(per_host) - min(per_host) <= 1
+    assert np.array_equal(host_pixel_stripe(10), np.arange(10))
     assert host_chunk_name() == "chunk0"
 
 

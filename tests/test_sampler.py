@@ -568,3 +568,49 @@ def test_posterior_modes_ztol():
     assert np.all(np.asarray(low.n_modes) == n_full)
     assert np.allclose(np.asarray(low.mode_lnz),
                        np.asarray(full.mode_lnz))
+
+
+def test_stratified_init_coverage():
+    """Latin-hypercube init: every (run, dim) column of the initial
+    live set hits every 1/L quantile bin exactly once (coverage), with
+    exactly-uniform marginals; ``init_stratified=False`` reverts to
+    iid draws (which leave many bins empty at this L)."""
+    from nestfit_tpu.sampling.sampler import ns_init
+
+    L, R, D = 64, 4, 5
+    loglike2 = lambda u, _d: jnp.zeros(u.shape[:-1], u.dtype)  # noqa: E731
+
+    def bins_hit(cfg):
+        st = ns_init(random.key(3), loglike2, None, D, R, cfg,
+                     dtype=jnp.float32)
+        u = np.asarray(st.u)                     # [R, L, D]
+        assert u.shape == (R, cfg.nlive, D)
+        assert np.all((u >= 0.0) & (u < 1.0))
+        b = np.floor(u * cfg.nlive).astype(int)  # bin index per point
+        # count distinct bins occupied per (run, dim) column
+        hit = np.zeros((R, D), dtype=int)
+        for r in range(R):
+            for d in range(D):
+                hit[r, d] = np.unique(b[r, :, d]).size
+        return hit
+
+    hit_lhs = bins_hit(NSConfig(nlive=L, tol=1.0))
+    assert np.all(hit_lhs == L), hit_lhs          # full coverage
+    hit_iid = bins_hit(NSConfig(nlive=L, tol=1.0, init_stratified=False))
+    # iid draws leave ~L/e bins empty w.h.p. -- distinguishes the paths
+    assert np.all(hit_iid < L), hit_iid
+
+
+def test_stratified_init_evidence_unbiased():
+    """The stratified init must not bias lnZ: analytic Gaussian
+    evidence stays within the same tolerance as the iid-init pin
+    (test_gaussian_evidence)."""
+    ndim, sigma, R = 6, 0.05, 8
+    cfg = NSConfig(nlive=200, tol=0.1, method="ellipsoid")
+    res = run_nested(random.key(7), gaussian_loglike(sigma), ndim, R,
+                     cfg, dtype=jnp.float64)
+    lnz_true = 0.5 * ndim * np.log(2 * np.pi * sigma**2)
+    lnz = np.asarray(res.lnz)
+    err = np.asarray(res.lnz_err)
+    assert np.all(np.abs(lnz - lnz_true) < 4 * np.maximum(err, 0.05))
+    assert abs(lnz.mean() - lnz_true) < 2 * err.mean() / np.sqrt(R) + 0.08

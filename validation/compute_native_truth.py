@@ -58,6 +58,14 @@ def main():
     ap.add_argument("--extra-seeds", type=int, default=2)
     args = ap.parse_args()
 
+    # CPU backend: the only device work here is two small prior
+    # transforms, and holding the axon TPU session for the whole
+    # multi-hour C++ grind would block every other TPU user (the
+    # tunnel admits ONE process at a time)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
     from nestfit_tpu import native
     from nestfit_tpu.priors import get_irdc_priors
     from nestfit_tpu.synth import make_synth_cube_arrays
