@@ -261,13 +261,13 @@ def main():
     t0 = time.perf_counter()
     plan = []
     for n in (1, 2):
-        plan += aot.build_plan(runners[n], n_pix, cfg, n_post=512)
+        plan += aot.build_plan(runners[n], n_pix, cfg)
         plan += aot.build_plan(retry_runners[n], r_retry, cfg,
-                               n_post=512, r_classes=[],
+                               r_classes=[],
                                label=f"retry{n}")
         # escalated second-attempt retry programs (deep repeats)
         plan += aot.build_plan(retry_runners[n], r_retry,
-                               retry_cfg(n, 1), n_post=512,
+                               retry_cfg(n, 1),
                                r_classes=[], label=f"retry{n}e")
     pre = aot.compile_plan(plan, max_workers=12, verbose=log)
     pre.pop("programs", None)

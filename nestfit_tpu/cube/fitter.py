@@ -74,7 +74,7 @@ class CubeFitter:
 
     def __init__(self, stack, utrans, runner_cls, runner_kwargs=None,
                  lnZ_thresh=11, ncomp_max=2, ns_kwargs=None,
-                 nlive_snr_fact=5, batch_size=1024, n_post=512,
+                 nlive_snr_fact=5, batch_size=1024, n_post=0,
                  nlive_buckets=4, segment_iters=256, mesh=None,
                  max_retries=1, mode_loss_margin=8.0,
                  mode_loss_retries=2):

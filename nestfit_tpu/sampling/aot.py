@@ -115,7 +115,7 @@ def build_plan(
     n_runs,
     config=None,
     *,
-    n_post=512,
+    n_post=0,
     dtype=jnp.float32,
     data=None,
     r_classes=None,
@@ -136,7 +136,10 @@ def build_plan(
     from nestfit_tpu.sampling import fit as _F
     from nestfit_tpu.sampling.sampler import NSConfig
 
+    from nestfit_tpu.sampling.results import resolve_n_post
+
     config = config if config is not None else NSConfig()
+    n_post = resolve_n_post(n_post, config.nlive)
     if not config.flat_dims and runner.utrans is not None:
         flat = getattr(runner.utrans, "flat_dims", None)
         if flat is not None:

@@ -98,7 +98,7 @@ def fit_batch(
     runner: Runner,
     n_runs: int,
     config: NSConfig = NSConfig(),
-    n_post: int = 512,
+    n_post: int = 0,
     dtype=jnp.float32,
     segment_iters: int = 0,
     data=None,
@@ -118,7 +118,14 @@ def fit_batch(
     of this runner template.  ``active`` marks padding rows of a
     partial batch as born-done (their results are meaningless; see
     ``run_nested``).
+
+    ``n_post`` is the stored equal-weight posterior sample count;
+    0 (default) scales it with ``config.nlive`` (see
+    ``results.resolve_n_post``).
     """
+    from nestfit_tpu.sampling.results import resolve_n_post
+
+    n_post = resolve_n_post(n_post, config.nlive)
     k_ns, k_post = random.split(key)
 
     # likelihood-flat unit-cube dims (ConstantPrior rows etc.): let the
@@ -159,11 +166,12 @@ def fit_batch(
             "mode the runner's own spectra are used"
         )
 
-        def loglike(u):
-            return runner.loglike_unit(u).astype(dtype)
-
-        ns = run_nested(k_ns, loglike, runner.ndim, n_runs, config,
-                        dtype=dtype, active=active)
+        # route the runner's own per-pixel data through the explicit
+        # (loglike2, data) form: run_nested's traced multi-chip path
+        # (shard_map over dp) needs the data as arguments, not closure
+        ns = run_nested(k_ns, _loglike2_for(runner, dtype), runner.ndim,
+                        n_runs, config, dtype=dtype,
+                        data=runner.data_tree(), active=active)
         products = posterior_products(
             ns, lambda u: runner.transform(u), k_post, n_post=n_post
         )
@@ -209,7 +217,7 @@ def merge_fit_rows(fit_a: FitResult, fit_b: FitResult, dst_rows,
 
 
 def fit_single(key, runner: Runner, config: NSConfig = NSConfig(nlive=400, tol=0.5),
-               n_post: int = 512, dtype=jnp.float32) -> FitResult:
+               n_post: int = 0, dtype=jnp.float32) -> FitResult:
     """Single-spectrum fit, the ``test_nested`` entry point equivalent
     (reference main.py:1279-1294; single-fit defaults nlive=400,
     tol=0.5 per core.pyx:729-731)."""

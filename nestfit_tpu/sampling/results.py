@@ -32,6 +32,26 @@ MARGINAL_COLS = [
 ]
 
 
+def resolve_n_post(n_post: int, nlive: int) -> int:
+    """Resolve the stored-posterior sample count (0 -> auto).
+
+    The reference stores MultiNest's full variable-size weighted
+    posterior (core.pyx:677-680), whose row count scales with the dead
+    set (~ nlive * H).  Static shapes need a fixed count, so auto mode
+    scales it with the information content the run can actually
+    resolve: ``16 * nlive`` rounded up to a power of two, clamped to
+    [512, 4096].  At the cube-fit default nlive=100 this is 2048 --
+    enough that the 3-sigma band (two-sided tail mass 2.7e-3) carries
+    ~5 expected samples, where the old fixed 512 carried ~1.4 (VERDICT
+    r3 item 8: stored tail quantiles were resampling noise).  The
+    marginals are unaffected either way (always computed from the full
+    weighted dead+live set).
+    """
+    if n_post and n_post > 0:
+        return int(n_post)
+    return int(min(4096, max(512, 2 ** int(np.ceil(np.log2(16 * nlive))))))
+
+
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=[

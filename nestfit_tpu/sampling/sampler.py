@@ -1894,16 +1894,21 @@ def _get_jit(loglike2, cfg, ndim, n_runs, dtype, kind):
     if key not in _JIT_CACHE:
         if kind == "init":
             fn = jax.jit(
-                lambda k, data: ns_init(k, loglike2, data, ndim, n_runs,
-                                        cfg, dtype)
+                lambda k, data: _pin_dp(
+                    ns_init(k, loglike2, data, ndim, n_runs, cfg, dtype),
+                    n_runs,
+                )
             )
         elif kind == "fin":
-            fn = jax.jit(lambda st: ns_finalize(st, cfg))
+            fn = jax.jit(lambda st: _pin_dp(ns_finalize(st, cfg), n_runs))
         else:
             seg = ns_segment if kind == "cand" else ns_segment_slice
 
             def run_seg(st, data, seg_end, _seg=seg):
-                return _seg(st, loglike2, data, cfg, seg_end)
+                st = _pin_dp(st, n_runs)
+                return _pin_dp(
+                    _seg(st, loglike2, data, cfg, seg_end), n_runs
+                )
 
             # donate the state: the host loop never reuses an input
             # state, and in-place buffer reuse roughly halves the
@@ -1920,6 +1925,40 @@ def _get_jit(loglike2, cfg, ndim, n_runs, dtype, kind):
         _AOT_CACHE[key] = disp
         return disp
     return fn
+
+
+def _pin_dp(tree, n_runs):
+    """Constrain every per-run leaf's leading axis to the mesh's
+    data-parallel axis (no-op without a mesh or without a ``dp`` axis).
+
+    Per-pixel runs are embarrassingly parallel (SURVEY.md section 2.3),
+    so the run axis must shard over ``dp`` with ZERO communication.
+    Left to sharding propagation alone, XLA re-shards interior
+    intermediates whose run axis moved through transposes/reshapes
+    (e.g. the init ``lax.map`` chunking or the k-means scratch) and
+    inserts cross-dp all-gathers -- measured 26 collectives on a pure
+    dp mesh before these pins (tests/test_parallel.py::
+    test_dp_axis_is_communication_free).  Pinning the state at program
+    boundaries anchors propagation to the run axis everywhere.
+
+    Applied only when a mesh is ambient, so single-chip programs (the
+    bench path) are untouched.
+    """
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh is None or mesh.empty or "dp" not in mesh.axis_names:
+        return tree
+
+    def pin(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jax.dtypes.prng_key):
+            return x
+        if getattr(x, "ndim", 0) >= 1 and x.shape[0] == n_runs \
+                and x.shape[0] % mesh.shape["dp"] == 0:
+            return jax.lax.with_sharding_constraint(
+                x, jax.sharding.PartitionSpec(
+                    "dp", *([None] * (x.ndim - 1))))
+        return x
+
+    return jax.tree_util.tree_map(pin, tree)
 
 
 def _gather_rows(tree, idx, n_rows):
@@ -1973,6 +2012,77 @@ def _strip_bounds(state: _State) -> _State:
     which regime a run ended in (one compile instead of two).
     """
     return dataclasses.replace(state, bounds=())
+
+
+def _run_traced_shard_map(key, loglike2, ndim, n_runs, cfg, dtype,
+                          data, active):
+    """Traced-mode multi-chip path: the whole nested-sampling run
+    wrapped in ``shard_map`` over the mesh's ``dp`` axis.
+
+    Per-pixel runs are embarrassingly parallel, and ``shard_map`` makes
+    that a guarantee the compiler cannot break: inside the manual-SPMD
+    region every top_k / gather / scatter is shard-local by
+    construction, where GSPMD's partitioner punts on batch-sharded
+    top_k/scatter and inserts per-iteration cross-dp all-gathers
+    (measured: 26 collectives in the jit-partitioned fit at R=16,
+    tests/test_parallel.py::test_dp_axis_is_communication_free).  Each
+    shard also terminates its own ``while_loop`` as soon as ITS runs
+    are done instead of riding the global straggler.
+
+    Requirements (else returns ``None`` and the caller falls back to
+    the jit+GSPMD path): an ambient mesh whose ``dp`` axis divides
+    ``n_runs``, no channel (``sp``) sharding larger than 1 (channel
+    reductions then genuinely need cross-device collectives, which are
+    GSPMD's job), and per-run ``data`` passed explicitly (closure data
+    cannot be re-sharded into the manual region).
+
+    Each shard derives its own PRNG stream (``random.split`` of the
+    run key), so mesh and no-mesh runs of the same key draw different
+    proposal streams -- same contract as the reference's per-process
+    MultiNest seeds (core.pyx:757-760).
+    """
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh is None or mesh.empty or "dp" not in mesh.axis_names:
+        return None
+    dp = mesh.shape["dp"]
+    if dp <= 1 or n_runs % dp != 0 or data is None:
+        return None
+    P = jax.sharding.PartitionSpec
+
+    def dspec(x):
+        if getattr(x, "ndim", 0) >= 1 and x.shape[0] == n_runs:
+            return P("dp", *([None] * (x.ndim - 1)))
+        return P()
+
+    data_specs = jax.tree_util.tree_map(dspec, data)
+    n_local = n_runs // dp
+    active_arr = (
+        jnp.ones((n_runs,), dtype=bool) if active is None
+        else jnp.asarray(active, dtype=bool)
+    )
+
+    def shard_run(keys, data_sh, active_sh):
+        st = ns_init(keys[0], loglike2, data_sh, ndim, n_local, cfg,
+                     dtype)
+        st = dataclasses.replace(st, done=st.done | ~active_sh)
+        st = ns_segment(st, loglike2, data_sh, cfg, cfg.max_iter)
+        return ns_finalize(st, cfg)
+
+    # check_vma off: model kernels build scan carries from replicated
+    # channel-axis constants, which trips the varying-manual-axes
+    # strictness (the suggested pcast would have to thread through
+    # every model); the region performs no dp collectives either way.
+    # Only dp is manual -- any other mesh axis (e.g. the optional
+    # channel ``sp`` axis) stays automatic, so GSPMD still inserts its
+    # channel-reduction collectives inside the shard
+    return jax.shard_map(
+        shard_run,
+        mesh=mesh,
+        axis_names={"dp"},
+        in_specs=(P("dp"), data_specs, P("dp")),
+        out_specs=P("dp"),
+        check_vma=False,
+    )(random.split(key, dp), data, active_arr)
 
 
 def run_nested(
@@ -2057,10 +2167,17 @@ def run_nested(
         )
 
     if not (segment_iters and segment_iters > 0):
+        res = _run_traced_shard_map(
+            key, loglike2, ndim, n_runs, cfg, dtype, data, active
+        )
+        if res is not None:
+            return res
         state = ns_init(key, loglike2, data, ndim, n_runs, cfg, dtype)
         state = apply_active(state)
+        state = _pin_dp(state, n_runs)
         state = ns_segment(state, loglike2, data, cfg, cfg.max_iter)
-        return ns_finalize(state, cfg)
+        state = _pin_dp(state, n_runs)
+        return _pin_dp(ns_finalize(state, cfg), n_runs)
 
     # ceff mode keeps rejection sampling alive by construction (the
     # adaptive shrink holds acceptance at the target), so the one-way

@@ -183,6 +183,17 @@ def test_diazenylium_fit_recovery():
     assert abs(best[3] - params[3]) < 0.2       # sigm
 
 
+def test_resolve_n_post():
+    """Auto n_post scales with nlive (VERDICT r3 item 8: fixed 512
+    left ~0.7 expected samples beyond the stored 3-sigma quantiles)."""
+    from nestfit_tpu.sampling.results import resolve_n_post
+
+    assert resolve_n_post(64, 100) == 64      # explicit wins
+    assert resolve_n_post(0, 100) == 2048     # cube-fit default
+    assert resolve_n_post(0, 400) == 4096     # single-fit default, capped
+    assert resolve_n_post(0, 8) == 512        # floor
+
+
 def test_merge_fit_rows():
     """merge_fit_rows swaps whole per-run records (lnZ, posteriors,
     products) between two FitResults of different batch widths."""
