@@ -569,6 +569,7 @@ def native_truth_comparison(d11, d22, lnz1, lnz2, null, nbest):
         "native400_seed_scatter_lnz1": round(s_model[1], 3),
         "native400_seed_scatter_lnz2": round(s_model[2], 3),
         "native400_nbest_agree_frac": float(agree),
+        "native400_dz_frac_gt10": float(np.mean(np.abs(dz) > 10.0)),
         "native400_n_sel": len(sel_pairs),
         "native400_dz21_median": float(np.median(dz21)),
     }

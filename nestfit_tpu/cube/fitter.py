@@ -89,7 +89,13 @@ class CubeFitter:
             self.ns_kwargs.update(ns_kwargs)
         self.nlive_snr_fact = nlive_snr_fact
         self.batch_size = batch_size
-        self.n_post = n_post
+        # resolve auto n_post ONCE from the base nlive: SNR buckets run
+        # at different nlive, and per-bucket auto resolution would give
+        # the store posteriors datasets bucket-dependent widths (the
+        # FitTable product aggregation stacks them)
+        from nestfit_tpu.sampling.results import resolve_n_post
+
+        self.n_post = resolve_n_post(n_post, self.ns_kwargs["nlive"])
         self.nlive_buckets = nlive_buckets
         self.segment_iters = segment_iters
         self.mesh = mesh

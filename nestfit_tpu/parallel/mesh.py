@@ -6,14 +6,24 @@ forked processes with no inter-process communication).  Here the pixel
 batch axis is sharded over a ``jax.sharding.Mesh``:
 
 * ``dp`` (data-parallel) axis: pixels.  Every sampler/fit operation is
-  independent per pixel, so XLA partitions the whole fit with zero
-  collectives on this axis -- the lockstep batch simply spans chips.
+  independent per pixel, so the fit must span chips with ZERO
+  collectives on this axis.  Traced-mode fits enforce that with a
+  ``shard_map`` manual region over ``dp`` (sampler.
+  _run_traced_shard_map): left to GSPMD alone, the partitioner punts
+  on batch-sharded top_k/gather/scatter and inserts per-iteration
+  cross-dp all-gathers (measured; pinned by tests/test_parallel.py::
+  test_dp_axis_is_communication_free).  Host-driven segmented fits
+  stay on GSPMD with per-run state pinned to ``dp`` at program
+  boundaries (sampler._pin_dp).
 * ``sp`` (sequence/channel-parallel) axis: optional sharding of the
   spectral channel axis.  The chi-square channel reduction then
-  lowers to a ``psum`` over ``sp`` (rides ICI).  Useful only for very
-  long spectra; for the reference's 100-1000 channels a single chip
-  holds the channel axis comfortably (SURVEY.md section 2.3), so the
-  default mesh is 1 x n_devices on ``dp``.
+  lowers to an sp-grouped all-reduce (rides ICI); inside the
+  traced-mode manual region the ``sp`` axis stays automatic
+  (``shard_map(axis_names={"dp"})``), so GSPMD still inserts exactly
+  those reductions.  Useful only for very long spectra; for the
+  reference's 100-1000 channels a single chip holds the channel axis
+  comfortably (SURVEY.md section 2.3), so the default mesh is
+  1 x n_devices on ``dp``.
 """
 
 import numpy as np

@@ -35,6 +35,7 @@ VARIANTS = {
     "kill12": {"kill_k": 12},
     "kill6": {"kill_k": 6},
     "diff": {"dir_mode": "diff"},
+    "diff3": {"dir_mode": "diff", "fallback_repeats": 3},
     "rep6": {"fallback_repeats": 6},
     "rep8": {"fallback_repeats": 8},
 }
