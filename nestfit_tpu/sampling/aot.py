@@ -119,8 +119,8 @@ def build_plan(
     dtype=jnp.float32,
     data=None,
     r_classes=None,
-    kinds_full=("init", "cand", "slice", "fin", "finalize"),
-    kinds_classes=("slice",),
+    kinds_full=("init", "cand", "slice", "fin", "finalize", "rebuild"),
+    kinds_classes=("slice", "rebuild"),
     label=None,
 ):
     """Enumerate the AOT tasks for one segmented ``fit_batch`` call.
@@ -209,6 +209,11 @@ def build_plan(
             (st_slice, data_t(n_runs), i32_t))
     if "fin" in kinds_full:
         add("fin", n_runs, seg_fn("fin", n_runs), (st_fin,))
+    if "rebuild" in kinds_full:
+        # two-way switch probe (run_nested's slice branch): no
+        # likelihood in the graph, so this compiles in seconds and
+        # dedups across retry families sharing (config, ndim, R)
+        add("rebuild", n_runs, seg_fn("rebuild", n_runs), (st_slice,))
     if "finalize" in kinds_full:
         ns_t = jax.eval_shape(seg_fn("fin", n_runs), st_fin)
         fin_jit = _F._finalize_for(runner, n_post, dtype)
@@ -228,6 +233,9 @@ def build_plan(
             st_slice_r = jax.eval_shape(to_slice, st_cand_r)
             add("slice", r, seg_fn("slice", r),
                 (st_slice_r, data_t(r), i32_t))
+        if "rebuild" in kinds_classes:
+            st_slice_r = jax.eval_shape(to_slice, st_cand_r)
+            add("rebuild", r, seg_fn("rebuild", r), (st_slice_r,))
     return tasks
 
 

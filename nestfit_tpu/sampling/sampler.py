@@ -60,6 +60,7 @@ proposal candidates that way).
 """
 
 import dataclasses
+import math
 from functools import partial
 from typing import Callable
 
@@ -192,6 +193,44 @@ class NSConfig:
     #                               iterations (bounds the evals wasted
     #                               in a collapsed candidate regime to
     #                               switch_iters * n_cand per run)
+    switch_back: bool = True      # two-way regime switch: while in the
+    #                               kill+slice regime, periodically
+    #                               rebuild the full multi-ellipsoid
+    #                               bound (ZERO likelihood evals) and
+    #                               ESTIMATE the would-be candidate
+    #                               acceptance as X / V_union -- both
+    #                               factors are already known (X from
+    #                               the order-statistic compression
+    #                               table at each run's death count, V
+    #                               from the rebuilt union's ellipsoid
+    #                               volumes; see ns_rebuild_bounds).
+    #                               When the active-run mean clears
+    #                               switch_back_margin * the break-even
+    #                               threshold, return to the candidate
+    #                               program: post-bulk contours are
+    #                               compact and ellipsoid-friendly
+    #                               again, where rejection pays ~1/acc
+    #                               evals per death vs the slice
+    #                               chains' ~2.6*repeats + 0.6
+    #                               regardless of contour quality.
+    #                               Candidate inserts are independent
+    #                               draws, so switching back can only
+    #                               REDUCE the correlated-insert lnZ
+    #                               bias, never add to it.
+    switch_back_margin: float = 1.3  # hysteresis on the estimate: the
+    #                               probe must predict acceptance this
+    #                               factor above the away-switch
+    #                               threshold before a switch-back is
+    #                               attempted (the estimate assumes the
+    #                               union covers the contour exactly;
+    #                               under-coverage makes the realized
+    #                               EMA land below the prediction)
+    switch_back_every: int = 64   # slice iterations between acceptance
+    #                               estimates (each costs one bound
+    #                               rebuild -- k-means + Cholesky on
+    #                               the [R, nlive, D] live set, no
+    #                               likelihood evaluations); 0 disables
+    #                               the probes
     stall_limit: int = 64         # consecutive zero-fill iterations
     #                               after which a run is abandoned
     #                               (marked done, not converged).
@@ -257,13 +296,33 @@ class NSConfig:
     #                               regime switch is disabled (ceff
     #                               keeps rejection sampling alive by
     #                               construction)
-    dir_mode: str = "mix"         # slice direction set: "gauss"
+    dir_mode: str = "diff"        # slice direction set: "gauss"
     #                               (isotropic whitened), "diff"
     #                               (random survivor differences --
     #                               stretch-move style, adapts to
     #                               contour curvature), or "mix"
     #                               (alternate diff/gauss).  See
-    #                               _slice_chains.
+    #                               _slice_chains.  Default "diff",
+    #                               measured on the NH3 bench cube
+    #                               (validation/mode_loss_probe.py,
+    #                               1024 px x 2 seeds): survivor
+    #                               differences cut consumed evals 16%
+    #                               (50.7k -> 42.9k/px) AND cut
+    #                               nested-model floor violations 40%
+    #                               (63/45 -> 33/38 per 1024 rung-2
+    #                               runs) vs "mix" -- cross-mode
+    #                               difference vectors let chains
+    #                               re-seed a thinning mode, which
+    #                               isotropic directions almost never
+    #                               do at D=12.  Analytic-Gaussian lnZ
+    #                               bias is unchanged (+0.40 both,
+    #                               lower run-to-run sd); deeper
+    #                               repeats shifted to "diff" keep the
+    #                               same ceiling (+1.7 vs +1.6 forced).
+    #                               repeats=3 with "diff" was measured
+    #                               UNSAFE (bias +1.9, viol2 66/62) --
+    #                               do not trade the saving for
+    #                               shallower chains.
     fallback_repeats: int = 0     # slice steps per chain in the fill
     #                               passes; 0 -> ~ndim//3, floor 3
     #                               (see resolved()).
@@ -1597,6 +1656,62 @@ def ns_segment_slice(state: _State, loglike2, data, cfg: NSConfig,
     return lax.while_loop(cond, body, state)
 
 
+def ns_rebuild_bounds(state: _State, cfg: NSConfig):
+    """Rebuild the full candidate bounding geometry from the current
+    live set and ESTIMATE the would-be candidate acceptance -- with
+    ZERO likelihood evaluations.
+
+    Drives the host's two-way regime switch (``run_nested``): candidate
+    blocks draw uniformly from the ellipsoid set with overlap thinning
+    and every draw is evaluated, so their acceptance is, in
+    expectation, exactly ``X / V_prop`` -- the threshold contour's
+    prior volume over the proposal measure's total volume.  Both
+    factors are already known without touching the likelihood: ``X``
+    from the order-statistic compression table at each run's death
+    count, ``V`` from the rebuilt union's per-ellipsoid volumes (plus
+    the unit-ball constant that ``_compute_bounds``' relative
+    log-volumes omit).  A pessimistic estimate costs nothing (no
+    switch), unlike probing with a live candidate block
+    (``switch_iters * n_cand`` wasted evals per run when acceptance
+    stayed collapsed).
+
+    Returns the state carrying the full 7-tuple bounds plus the
+    active-run mean estimate as a scalar.  The estimate is a COARSE
+    upper bound in practice: slice-mixing under-dispersion makes the
+    true contour ~2x smaller than the order-statistic table's X on a
+    clean D=8 Gaussian, and up to ~50x on the D=12 NH3 posterior --
+    so the host primes the candidate EMA to the break-even threshold
+    (not the estimate) and lets a short probation segment measure the
+    realized acceptance.
+    """
+    R, L, D = state.u.shape
+    cfg = cfg.resolved(D)
+    dtype = state.u.dtype
+    act, act_np = _act_arrays(cfg, D, dtype)
+    wrap = _wrap_vec(cfg, D)
+    u_geo = _recenter(state.u, wrap)
+    bounds = _compute_bounds(u_geo, state.zombie, act, act_np, cfg)
+    # total proposal volume: overlap-thinned draws are uniform w.r.t.
+    # the SUM of ellipsoid volumes (thinned candidates are evaluated
+    # and discarded), so the sum -- not the union -- is the cost model
+    lnvol_sum = jax.scipy.special.logsumexp(bounds[3], axis=-1)  # [R]
+    d_act = float(act_np.sum())
+    lnball = float(
+        0.5 * d_act * np.log(np.pi) - math.lgamma(0.5 * d_act + 1.0)
+    )
+    lnx_np, _ = _weight_tables(L, cfg.kill_k, cfg.max_iter)
+    lnx = jnp.asarray(lnx_np, dtype)[
+        jnp.clip(state.n_deaths, 0, cfg.max_iter)
+    ]                                                            # [R]
+    est = jnp.exp(jnp.clip(lnx - (lnvol_sum + lnball), -60.0, 0.0))
+    active = ~state.done
+    n_act = jnp.maximum(jnp.sum(active.astype(dtype)), 1.0)
+    est_mean = (jnp.sum(jnp.where(active, est, 0.0)) / n_act).astype(
+        dtype
+    )
+    return dataclasses.replace(state, bounds=bounds), est_mean
+
+
 def ns_slice_fill(state: _State, loglike2, data, cfg: NSConfig) -> _State:
     """Fill pending kill slots with batched multi-chain whitened slice
     sampling.
@@ -1901,6 +2016,16 @@ def _get_jit(loglike2, cfg, ndim, n_runs, dtype, kind):
             )
         elif kind == "fin":
             fn = jax.jit(lambda st: _pin_dp(ns_finalize(st, cfg), n_runs))
+        elif kind == "rebuild":
+            # two-way switch probe: no likelihood in the graph (small
+            # HLO, compiles in seconds), donate the state for in-place
+            # buffer reuse
+            fn = jax.jit(
+                lambda st: _pin_dp(
+                    ns_rebuild_bounds(st, cfg), n_runs
+                ),
+                donate_argnums=(0,),
+            )
         else:
             seg = ns_segment if kind == "cand" else ns_segment_slice
 
@@ -2121,8 +2246,12 @@ def run_nested(
         segmented mode ``method="auto"`` additionally runs the
         host-driven two-regime schedule: short candidate segments
         (``switch_iters``) while the candidate-acceptance EMA is
-        healthy, then a one-way switch to the slim kill+slice program
-        for the remainder of the fit.  Splitting the regimes into two
+        healthy, then a switch to the slim kill+slice program -- with
+        periodic zero-eval geometry probes (``switch_back*`` knobs,
+        see ns_rebuild_bounds) that return to the candidate program
+        when the estimated acceptance recovers past break-even and a
+        short probation segment confirms it.  Splitting the regimes
+        into two
         separately compiled programs (instead of a fused lax.cond)
         roughly halves XLA compile time of the hot path and lets each
         regime drop the machinery it does not use.
@@ -2216,6 +2345,15 @@ def run_nested(
     cur_data = data
     r_cur = n_runs
     iter_cap = cfg.max_iter
+    # two-way switch state (see NSConfig.switch_back): probes estimate
+    # the would-be candidate acceptance from geometry alone, so a
+    # declined probe is nearly free; a switch-back that the measured
+    # EMA then refutes costs one short probation segment of candidate
+    # blocks, and each refuted attempt doubles the probe backoff
+    auto_back = auto and cfg.switch_back and cfg.switch_back_every > 0
+    n_back = 0         # completed switch-backs (drives probe backoff)
+    probation = False  # first candidate segment after a switch-back
+    probe_at = 0       # earliest iteration for the next probe
     while True:
         i = int(state.i)
         done_np = np.asarray(state.done)
@@ -2277,6 +2415,11 @@ def run_nested(
         if mode == "cand":
             step = min(cfg.switch_iters, segment_iters) if auto \
                 else segment_iters
+            if probation:
+                # validate a switch-back quickly: the EMA starts at the
+                # probe's prediction and must survive a short segment
+                # before the regime earns full-length segments again
+                step = min(step, 4)
             seg_j = _get_jit(loglike2, cfg, ndim, r_cur, dtype, "cand")
             if _NS_DEBUG:
                 import time as _time
@@ -2311,7 +2454,59 @@ def run_nested(
                         state, bounds=(b[1][:, 0], b[0][:, 0], b[2][:, 0])
                     )
                     mode = "slice"
+                    # each refuted switch-back doubles the backoff
+                    # before the next probe (the estimate ran ahead of
+                    # the measured acceptance -- union under-coverage)
+                    probe_at = int(state.i) + cfg.switch_back_every * (
+                        1 << min(n_back, 4)
+                    )
+                probation = False
         else:
+            if auto_back and i >= probe_at:
+                # two-way switch probe: rebuild the full bound and
+                # estimate the would-be candidate acceptance (no
+                # likelihood evals; see ns_rebuild_bounds).  Switch
+                # back only when the estimate clears the break-even
+                # threshold with margin AND the candidate program for
+                # this batch size is already compiled (it always is at
+                # the full batch size; a compacted class would pay a
+                # fresh 30-90 s remote-worker compile, which no
+                # straggler tail amortizes unless the AOT plan included
+                # it).
+                reb = _get_jit(loglike2, cfg, ndim, r_cur, dtype,
+                               "rebuild")
+                state, est = reb(state)
+                est_v = float(est)
+                ck = _jit_key(loglike2, cfg, ndim, r_cur, dtype, "cand")
+                cand_ready = ck in _AOT_CACHE or ck in _JIT_CACHE
+                if _NS_DEBUG:
+                    print(f"ns-debug: probe i={i} R={r_cur} "
+                          f"est={est_v:.4f} thresh={acc_thresh:.4f} "
+                          f"cand_ready={cand_ready}", flush=True)
+                if cand_ready and est_v > (
+                        cfg.switch_back_margin * acc_thresh):
+                    # prime the EMA to EXACTLY the break-even
+                    # threshold: after the 4-iteration probation
+                    # segment the EMA sits at 0.41*thresh +
+                    # 0.59*acc_realized, so the away-switch check
+                    # becomes an unbiased acc_realized < thresh test
+                    # -- priming with the (optimistic) estimate
+                    # instead let bad switch-backs coast through
+                    # probation on the estimate's momentum (measured
+                    # on NH3 rung 2: est 0.59, realized 0.01)
+                    state = dataclasses.replace(
+                        state,
+                        acc_ema=jnp.asarray(acc_thresh, state.u.dtype),
+                    )
+                    mode = "cand"
+                    probation = True
+                    n_back += 1
+                    continue
+                b = state.bounds
+                state = dataclasses.replace(
+                    state, bounds=(b[1][:, 0], b[0][:, 0], b[2][:, 0])
+                )
+                probe_at = i + cfg.switch_back_every
             # shorter slice segments while compaction is still
             # possible: ``seg_end`` is a traced argument (no
             # recompile), and checking back with the host every ~64

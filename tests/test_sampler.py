@@ -281,8 +281,10 @@ def test_slice_fill_bias_forced_ceiling():
     with every mid-run insert coming from batched slice chains
     (``cand_min_acc=0.9`` forces the switch right after start-up), the
     correlated-insert bias at the default ~ndim//3 repeats (4 at
-    D=12) is ~+1.3-1.5 nats (measured curve ~5.3/repeats;
-    docs/limitations.md).  This pin
+    D=12) is ~+1.7 nats under the default survivor-difference
+    directions (round 4: dir_mode="diff"; the old diff/gauss
+    alternation measured ~+1.3-1.5 on the same seeds -- the curve is
+    ~5.3/repeats; docs/limitations.md).  This pin
     keeps the regime's documented accuracy class from silently
     degrading -- if this fails high, chain mixing regressed; if a
     change makes it much lower, update docs/limitations.md and
@@ -299,7 +301,7 @@ def test_slice_fill_bias_forced_ceiling():
     lnz = np.asarray(res.lnz)
     assert np.all(np.asarray(res.converged))
     bias = lnz.mean() - lnz_true
-    assert -0.3 < bias < 1.6, (bias, lnz, lnz_true)
+    assert -0.3 < bias < 2.2, (bias, lnz, lnz_true)
 
 
 def test_trimodal_unequal_evidence():
@@ -614,3 +616,58 @@ def test_stratified_init_evidence_unbiased():
     err = np.asarray(res.lnz_err)
     assert np.all(np.abs(lnz - lnz_true) < 4 * np.maximum(err, 0.05))
     assert abs(lnz.mean() - lnz_true) < 2 * err.mean() / np.sqrt(R) + 0.08
+
+
+def test_rebuild_bounds_probe_estimate():
+    """The two-way switch probe (``ns_rebuild_bounds``) must return the
+    full candidate bounds and an acceptance estimate in (0, 1] without
+    touching the likelihood or the run bookkeeping."""
+    import dataclasses
+
+    from nestfit_tpu.sampling import sampler as S
+
+    ndim, R = 6, 8
+    cfg = S.NSConfig(nlive=100, tol=0.1).resolved(ndim)
+    ll2, data = S._normalize_loglike(gaussian_loglike(0.05), None)
+    state = S.ns_init(random.key(5), ll2, data, ndim, R, cfg,
+                      jnp.float64)
+    state = S.ns_segment(state, ll2, data, cfg, jnp.int32(12))
+    b = state.bounds
+    state = dataclasses.replace(
+        state, bounds=(b[1][:, 0], b[0][:, 0], b[2][:, 0])
+    )
+    state = S.ns_segment_slice(state, ll2, data, cfg, jnp.int32(24))
+    nc_before = np.asarray(state.ncall).copy()
+    st2, est = S.ns_rebuild_bounds(state, cfg)
+    assert len(st2.bounds) == 7
+    assert 0.0 < float(est) <= 1.0
+    # no likelihood evaluations, no run-state mutation
+    np.testing.assert_array_equal(np.asarray(st2.ncall), nc_before)
+    np.testing.assert_array_equal(np.asarray(st2.u), np.asarray(state.u))
+    np.testing.assert_array_equal(
+        np.asarray(st2.n_deaths), np.asarray(state.n_deaths)
+    )
+    # mid-run Gaussian: the estimate should be in a sane band (the
+    # union fits the contour to within an O(1) factor)
+    assert float(est) > 0.01
+
+
+def test_two_way_switch_evidence():
+    """Forced regime thrash (away-switch at an unreachable EMA target,
+    eager switch-backs at zero margin) must preserve the analytic
+    evidence: candidate inserts are independent draws, so alternating
+    regimes can only reduce the correlated-insert bias."""
+    ndim, sigma = 6, 0.05
+    ll = gaussian_loglike(sigma)
+    cfg = NSConfig(nlive=100, tol=0.3, cand_min_acc=0.45,
+                   switch_back_margin=0.05, switch_back_every=8)
+    res = run_nested(
+        random.key(31), lambda u, _d: ll(u), ndim, 8, cfg,
+        dtype=jnp.float64, data={}, segment_iters=16,
+    )
+    lnz_true = 0.5 * ndim * np.log(2 * np.pi * sigma**2)
+    lnz = np.asarray(res.lnz)
+    err = np.maximum(np.asarray(res.lnz_err), 0.05)
+    assert np.all(np.asarray(res.converged))
+    assert np.all(np.abs(lnz - lnz_true) < 4 * err), (lnz, lnz_true, err)
+    assert abs(lnz.mean() - lnz_true) < 2 * err.mean() / np.sqrt(8) + 0.15
