@@ -305,3 +305,36 @@ def test_mode_loss_refit(synth_stack):
     np.testing.assert_allclose(lnz_fixed[1:], lnz_true[1:])
     np.testing.assert_allclose(np.asarray(fit2.lnz)[1: cur_ix.size],
                                lnz_true[1:])
+
+
+def test_fit_cube_ladder_smoke(synth_stack, tmp_path):
+    """Fast smoke tier for the full fitter ladder (VERDICT r3 weak 9):
+    runs ``fit_cube`` end-to-end at toy sizes (nlive=16, short
+    segments) WITHOUT the slow marker, so arity/shape regressions in
+    the ladder plumbing (compaction, retries, store writing) surface
+    on every push instead of only in the slow e2e tier.  Accuracy is
+    NOT asserted here -- only that every pixel gets a complete record
+    and the store assembles."""
+    stack, params = synth_stack
+    utrans = get_irdc_priors(vsys=0.0)
+    fitter = CubeFitter(
+        stack, utrans, AmmoniaRunner, ncomp_max=2,
+        ns_kwargs={"nlive": 16, "tol": 5.0, "max_iter": 300},
+        batch_size=8, n_post=16, nlive_buckets=1, segment_iters=64,
+        mode_loss_retries=0,
+    )
+    store_name = str(tmp_path / "smoke_cube")
+    fitter.fit_cube(store_name=store_name, seed=11)
+    store = HdfStore(store_name)
+    try:
+        pix = store.hdf["pix"]
+        # 7 valid pixels (one NaN skipped), each with a rung-1 group
+        # and a model-selection attribute (layout /pix/<lon>/<lat>/<N>)
+        pixels = [pix[lon][lat] for lon in pix.keys()
+                  for lat in pix[lon].keys()]
+        assert len(pixels) == 7
+        for grp in pixels:
+            assert "1" in grp
+            assert "nbest" in grp.attrs
+    finally:
+        store.close()

@@ -38,6 +38,13 @@ VARIANTS = {
     "diff3": {"dir_mode": "diff", "fallback_repeats": 3},
     "rep6": {"fallback_repeats": 6},
     "rep8": {"fallback_repeats": 8},
+    # bound-enlargement variants (round 4): mode loss needs the
+    # candidate bound to exclude the dominant basin while it is thinly
+    # populated -- a larger union keeps proposals visiting it at the
+    # cost of lower candidate acceptance
+    "fudge": {"ell_fudge": 1.25},
+    "efr01": {"efr": 0.1},
+    "nlive150": {"nlive": 150},
 }
 
 
@@ -77,7 +84,9 @@ def main(n_seeds=2, n_px=1024, variants="lhs,iid"):
     runners = {n: make_runner(n) for n in (1, 2)}
     out = {}
     for tag in str(variants).split(","):
-        cfg = NSConfig(nlive=100, tol=1.0, **VARIANTS[tag])
+        kw = dict(nlive=100, tol=1.0)
+        kw.update(VARIANTS[tag])
+        cfg = NSConfig(**kw)
         viols1, viols2, ncall, walls = [], [], [], []
         for seed in range(n_seeds):
             k1, k2 = random.split(random.key(100 + seed))
