@@ -269,7 +269,13 @@ def main():
         plan += aot.build_plan(retry_runners[n], r_retry,
                                retry_cfg(n, 1),
                                r_classes=[], label=f"retry{n}e")
-    pre = aot.compile_plan(plan, max_workers=12, verbose=log)
+    # time-box the phase: a wedged backend compile RPC (observed once
+    # on the axon tunnel -- zero-CPU futex wait, remote never replies)
+    # must not eat the whole budget; abandoned programs compile lazily
+    # during warmup instead
+    pre_box = max(60.0, min(480.0, remaining() - 720.0))
+    pre = aot.compile_plan(plan, max_workers=12, verbose=log,
+                           timeout=pre_box)
     pre.pop("programs", None)
     log(f"bench: precompile {pre['wall_s']:.0f}s "
         f"({pre['n_programs']} programs, "
@@ -664,9 +670,16 @@ if __name__ == "__main__":
     # a C call holds the main thread, so the native baseline runs are
     # additionally wall-boxed inside C (ns_run max_wall_s) to return
     # control in time.
+    import faulthandler
     import signal
 
+    # stack dumps for wedge diagnosis: if any phase hangs past the
+    # deadline the thread stacks land in stderr alongside the partial
+    # JSON (the deadline handler still wins -- it os._exit()s first)
+    faulthandler.enable()
     lead = float(os.environ.get("BENCH_DEADLINE_LEAD_S", "45"))
+    faulthandler.dump_traceback_later(
+        max(BUDGET_S - lead - 10, 20), exit=False)
     signal.signal(signal.SIGALRM, _deadline_emit)
     signal.alarm(int(max(BUDGET_S - lead, 30)))
     try:
@@ -682,3 +695,9 @@ if __name__ == "__main__":
             result["value"] = 0.0
     signal.alarm(0)
     print(json.dumps(result))
+    # abandoned precompile threads (aot.compile_plan timeout) are
+    # non-daemon and would block normal interpreter exit on the
+    # concurrent.futures atexit join -- the JSON is out, leave now
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)

@@ -49,6 +49,7 @@ import logging
 import threading
 import time
 from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import wait as futures_wait
 from functools import partial
 
 import numpy as np
@@ -239,7 +240,7 @@ def build_plan(
     return tasks
 
 
-def compile_plan(tasks, max_workers=12, verbose=None):
+def compile_plan(tasks, max_workers=12, verbose=None, timeout=None):
     """Lower + compile every task concurrently; install executables.
 
     Tasks whose lowered StableHLO is byte-identical (e.g. a retry
@@ -247,6 +248,15 @@ def compile_plan(tasks, max_workers=12, verbose=None):
     share ONE backend compile: the first worker to lower a given
     module owns the compile, the rest block on its future and install
     the same executable under their own cache key.
+
+    ``timeout`` (seconds) bounds the WHOLE phase: tasks still running
+    when it expires are abandoned (their worker threads keep running
+    detached; if one later finishes, its executable still installs)
+    and reported as ``n_abandoned``.  Precompilation is an
+    optimization -- an abandoned program simply compiles lazily on
+    first use -- so a wedged backend compile RPC (observed once on
+    the axon TPU tunnel: zero-CPU futex wait with the remote compile
+    never returning) must not hang the caller forever.
 
     Returns a report dict: per-program walls, persistent-cache
     hit/miss counts, error strings for tasks that failed (a failed
@@ -307,9 +317,27 @@ def compile_plan(tasks, max_workers=12, verbose=None):
         return rec
 
     t_all = time.perf_counter()
+    n_abandoned = 0
     try:
-        with ThreadPoolExecutor(max_workers=max_workers) as ex:
-            recs = list(ex.map(work, tasks))
+        ex = ThreadPoolExecutor(max_workers=max_workers)
+        try:
+            futs = {ex.submit(work, t): t for t in tasks}
+            done, not_done = futures_wait(futs, timeout=timeout)
+            recs = [f.result() for f in done]
+            n_abandoned = len(not_done)
+            if not_done and verbose:
+                names = sorted(futs[f].name for f in not_done)
+                verbose(
+                    f"aot: TIMEOUT after {timeout:.0f}s -- abandoning "
+                    f"{n_abandoned} in-flight compiles "
+                    f"({', '.join(names[:8])}"
+                    + ("..." if len(names) > 8 else "") + ")"
+                )
+        finally:
+            # wait only when everything finished; abandoned threads
+            # are left running detached (they may still install their
+            # executables later, which is harmless)
+            ex.shutdown(wait=(n_abandoned == 0), cancel_futures=True)
     finally:
         jlog.removeHandler(counter)
         jlog.setLevel(old_level)
@@ -323,6 +351,7 @@ def compile_plan(tasks, max_workers=12, verbose=None):
         "n_programs": len(tasks),
         "n_errors": sum(1 for r in recs if "error" in r),
         "n_deduped": sum(1 for r in recs if r.get("deduped")),
+        "n_abandoned": n_abandoned,
         "cache_hits": sum(counter.hits.values()),
         "cache_misses": sum(counter.misses.values()),
         "programs": recs,
