@@ -259,9 +259,22 @@ def main():
 
     log("bench: AOT precompile (parallel) ...")
     t0 = time.perf_counter()
+    # PRIORITY ORDER (VERDICT r4 item 4: 38/44 programs were abandoned
+    # by the time box because retry programs occupied the worker pool
+    # ahead of rung-2's main programs).  ThreadPoolExecutor assigns
+    # workers in submission order, so: every full-batch program of both
+    # rungs first (the 12 programs every bench run certainly
+    # dispatches), then the straggler-compaction classes, then the
+    # retry families (cheap -- their init/cand/fin/finalize HLO-dedup
+    # against each other, and slice@64 against the compaction class).
     plan = []
     for n in (1, 2):
-        plan += aot.build_plan(runners[n], n_pix, cfg)
+        plan += aot.build_plan(runners[n], n_pix, cfg, r_classes=[])
+    for n in (1, 2):
+        plan += aot.build_plan(
+            runners[n], n_pix, cfg,
+            kinds_full=(), label=f"n{n}c")  # compaction classes only
+    for n in (1, 2):
         plan += aot.build_plan(retry_runners[n], r_retry, cfg,
                                r_classes=[],
                                label=f"retry{n}")
@@ -273,7 +286,11 @@ def main():
     # on the axon tunnel -- zero-CPU futex wait, remote never replies)
     # must not eat the whole budget; abandoned programs compile lazily
     # during warmup instead
-    pre_box = max(60.0, min(480.0, remaining() - 720.0))
+    # cap env-tunable: the documented cold no-cache precompile range is
+    # 371-519 s (docs/performance.md), so a fixed 480 s cap could
+    # abandon a legitimate cold run's slowest compiles
+    box_cap = float(os.environ.get("BENCH_PRECOMPILE_BOX_S", "550"))
+    pre_box = max(60.0, min(box_cap, remaining() - 720.0))
     pre = aot.compile_plan(plan, max_workers=12, verbose=log,
                            timeout=pre_box)
     pre.pop("programs", None)
@@ -325,6 +342,17 @@ def main():
         }
         ok_sel = (frac_ge1 >= 0.90 and frac_eq2 >= 0.30
                   and conv.mean() >= 0.98)
+        # diagnostics for the nbest=0 tail (VERDICT r4 item 8): these
+        # pixels sit at the >=1 floor, so log how far below the 11-nat
+        # rule they actually fall -- genuine low-SNR physics shows a
+        # continuum of small margins, a sampler failure shows cliffs
+        n0 = np.flatnonzero(nbest == 0)
+        if n0.size:
+            m0 = np.sort(lnz1[n0] - null[n0])
+            gates["nbest0_margins"] = np.round(m0, 2).tolist()[:32]
+            log(f"bench: nbest=0 tail ({n0.size} px): lnZ1-null "
+                f"median {np.median(m0):.1f}, range "
+                f"[{m0[0]:.1f}, {m0[-1]:.1f}] vs the 11-nat rule")
         log(f"bench: selection gate {'PASS' if ok_sel else 'FAIL'} "
             f"(>=1: {frac_ge1:.2f}, ==2: {frac_eq2:.2f}, "
             f"conv: {conv.mean():.3f})")
@@ -393,7 +421,8 @@ def main():
     # native-truth artifact) so it lands in RESULT even if the
     # in-budget baseline phase cannot run.
     ok_agree = True
-    nt = native_truth_comparison(d11, d22, lnz1, lnz2, null, nbest)
+    nt = native_truth_comparison(d11, d22, lnz1, lnz2, null, nbest,
+                                 fits=(r1, r2))
     if nt:
         gates.update(nt)
         # thresholds documented in validation/compute_native_truth.py:
@@ -408,6 +437,14 @@ def main():
             ok_native = (nt["native400_dz_sigma_median"] < 4.0
                          and nt["native400_nbest_agree_frac"] >= 0.7
                          and nt["native400_dz_frac_gt10"] <= 0.15)
+            # MAP-parameter agreement (VERDICT r4 item 3 / BASELINE.md
+            # "logZ and MAP parameters matching"): per-parameter
+            # max-likelihood vectors vs the native engine's, in units
+            # of the TPU posterior std.  Floor measured on the r5
+            # artifact (median ~0.2 sigma_post); gate leaves ~3x slack
+            # for seed scatter of the ML point estimate.
+            if nt.get("map_dz_n", 0) >= 16:
+                ok_native = ok_native and nt["map_dz_median"] < 1.0
             log(f"bench: native-truth gate "
                 f"{'PASS' if ok_native else 'FAIL'}")
             ok_agree = ok_agree and ok_native
@@ -480,7 +517,8 @@ def main():
     return RESULT
 
 
-def native_truth_comparison(d11, d22, lnz1, lnz2, null, nbest):
+def native_truth_comparison(d11, d22, lnz1, lnz2, null, nbest,
+                            fits=None):
     """Compare against the committed nlive=400 sequential-engine truth
     artifact (validation/native_truth_seed5.json, produced by
     validation/compute_native_truth.py).
@@ -566,6 +604,39 @@ def native_truth_comparison(d11, d22, lnz1, lnz2, null, nbest):
         sel_pairs.append((int(nbest[i]), nat_nbest))
         dz21.append(float(lnz2[i] - lnz1[i]) - (nat[2] - nat[1]))
 
+    # ---- MAP-parameter agreement (VERDICT r4 item 3): TPU vs native
+    # max-likelihood vectors in units of the TPU posterior std, on
+    # pixels where BOTH engines select that rung's model (a parameter
+    # comparison on a model neither engine selects compares noise).
+    # Native bestfit vectors exist only in backfilled artifacts.
+    map_dz = []
+    if fits is not None:
+        for key, rec in recs.items():
+            i = int(key)
+            if i >= lnz1.shape[0]:
+                continue
+            seeds = list(rec["seeds"].values())
+            nat = {n: float(np.median([s[f"lnz{n}"] for s in seeds]))
+                   for n in (1, 2)}
+            nat_nbest = 0 if nat[1] - null[i] < 11.0 else (
+                1 if nat[2] - nat[1] < 11.0 else 2)
+            for n, fit in ((1, fits[0]), (2, fits[1])):
+                bf_nat = next((s.get(f"bestfit{n}") for s in seeds
+                               if s.get(f"bestfit{n}")), None)
+                if bf_nat is None:
+                    continue
+                # require both engines to select >= this rung
+                if int(nbest[i]) < n or nat_nbest < n:
+                    continue
+                bf = np.asarray(fit.products.bestfit_params)[i]
+                sd = np.asarray(fit.products.std_params)[i]
+                bf_nat = np.asarray(bf_nat, dtype=float)
+                ok = sd > 1e-6  # skip constant (orth) rows
+                map_dz.extend(
+                    (np.abs(bf - bf_nat) / np.maximum(sd, 1e-6))[ok]
+                    .tolist()
+                )
+
     dz = np.asarray(dz)
     agree = np.mean([a == b for a, b in sel_pairs])
     out = {
@@ -579,6 +650,13 @@ def native_truth_comparison(d11, d22, lnz1, lnz2, null, nbest):
         "native400_n_sel": len(sel_pairs),
         "native400_dz21_median": float(np.median(dz21)),
     }
+    if map_dz:
+        out["map_dz_n"] = len(map_dz)
+        out["map_dz_median"] = float(np.median(map_dz))
+        out["map_dz_p90"] = float(np.quantile(map_dz, 0.9))
+        log(f"bench: MAP-parameter agreement: n={len(map_dz)} params, "
+            f"|dtheta|/sigma_post median {out['map_dz_median']:.3f} "
+            f"p90 {out['map_dz_p90']:.2f}")
     log(f"bench: native nlive=400 truth: n={dz.size} records, "
         f"|dz|/sigma median {out['native400_dz_sigma_median']:.2f} "
         f"max {out['native400_dz_sigma_max']:.2f}; "
@@ -604,7 +682,17 @@ def measure_cpu_baseline(xa11, d11, xa22, d22, noise, nlive, rung1, rung2,
                 f"budget too tight ({remaining():.0f}s left); the "
                 "committed native-truth artifact carries the agreement "
                 "gate")
-        n_sample = n_sample or int(os.environ.get("BENCH_CPU_PIXELS", "6"))
+        # SMOKE-sized by default (VERDICT r4 item 5): the committed
+        # 96-record nlive=400 artifact (native_truth_comparison) is
+        # the primary agreement gate -- its refresh policy is
+        # documented in validation/compute_native_truth.py (regenerate
+        # whenever the bench cube checksum or the prior spec changes;
+        # the bench skips it automatically on checksum mismatch).  The
+        # in-budget run only (a) measures the CPU rate for
+        # vs_baseline and (b) smoke-checks the engine still agrees
+        # live, so 3 pixels suffice and the budget goes to the timed
+        # pass instead.
+        n_sample = n_sample or int(os.environ.get("BENCH_CPU_PIXELS", "3"))
         box_s = min(float(os.environ.get("BENCH_CPU_BUDGET_S", "150")),
                     max(remaining() - 30, 30))
         utrans = get_irdc_priors(vsys=0.0)

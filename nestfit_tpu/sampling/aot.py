@@ -93,7 +93,7 @@ class _Task:
 
 
 def _install_sampler(key, name, compiled):
-    _S._AOT_CACHE[key] = (name, compiled)
+    _S._cache_put(_S._AOT_CACHE, key, (name, compiled))
 
 
 def _install_finalize(key, name, runner, compiled):
@@ -104,7 +104,7 @@ def _install_finalize(key, name, runner, compiled):
     # its id for reuse by a NEW runner that would then silently hit
     # this entry (the other fit-level caches pin their runner the same
     # way)
-    _F._FINALIZE_AOT[key] = (name, compiled, runner)
+    _S._cache_put(_F._FINALIZE_AOT, key, (name, compiled, runner))
 
 
 def _sds(x):
@@ -322,8 +322,11 @@ def compile_plan(tasks, max_workers=12, verbose=None, timeout=None):
         ex = ThreadPoolExecutor(max_workers=max_workers)
         try:
             futs = {ex.submit(work, t): t for t in tasks}
+            ordered = list(futs)
             done, not_done = futures_wait(futs, timeout=timeout)
-            recs = [f.result() for f in done]
+            # submission order, not set order: keeps the bench JSON's
+            # "programs" list stable run-to-run for diffing
+            recs = [f.result() for f in ordered if f in done]
             n_abandoned = len(not_done)
             if not_done and verbose:
                 names = sorted(futs[f].name for f in not_done)
@@ -338,6 +341,20 @@ def compile_plan(tasks, max_workers=12, verbose=None, timeout=None):
             # are left running detached (they may still install their
             # executables later, which is harmless)
             ex.shutdown(wait=(n_abandoned == 0), cancel_futures=True)
+            if n_abandoned:
+                # detach the wedged workers from concurrent.futures'
+                # atexit bookkeeping: the interpreter-exit handler
+                # joins every registered worker thread, so leaving
+                # them registered re-creates at exit the exact hang
+                # the timeout exists to prevent (callers other than
+                # bench.py do not os._exit)
+                try:
+                    from concurrent.futures import thread as _cft
+
+                    for t in list(ex._threads):
+                        _cft._threads_queues.pop(t, None)
+                except Exception:
+                    pass
     finally:
         jlog.removeHandler(counter)
         jlog.setLevel(old_level)
@@ -366,5 +383,6 @@ def precompile_fit(runner, n_runs, config=None, **kw):
     arguments split between the two (``max_workers``/``verbose`` to
     compile_plan, the rest to build_plan).
     """
-    cp = {k: kw.pop(k) for k in ("max_workers", "verbose") if k in kw}
+    cp = {k: kw.pop(k) for k in ("max_workers", "verbose", "timeout")
+          if k in kw}
     return compile_plan(build_plan(runner, n_runs, config, **kw), **cp)

@@ -69,7 +69,9 @@ def _loglike2_for(runner: Runner, dtype):
         def loglike2(u, data):
             return runner.with_data(data).loglike_unit(u).astype(dtype)
 
-        _LOGLIKE_CACHE[key] = (loglike2, runner)
+        from nestfit_tpu.sampling.sampler import _cache_put
+
+        _cache_put(_LOGLIKE_CACHE, key, (loglike2, runner))
     return _LOGLIKE_CACHE[key][0]
 
 
@@ -89,7 +91,9 @@ def _finalize_for(runner: Runner, n_post, dtype):
             )
             return products, null_lnz, ics
 
-        _FINALIZE_CACHE[key] = (jax.jit(finalize), runner)
+        from nestfit_tpu.sampling.sampler import _cache_put
+
+        _cache_put(_FINALIZE_CACHE, key, (jax.jit(finalize), runner))
     return _FINALIZE_CACHE[key][0]
 
 

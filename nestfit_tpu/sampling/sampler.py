@@ -231,6 +231,21 @@ class NSConfig:
     #                               the [R, nlive, D] live set, no
     #                               likelihood evaluations); 0 disables
     #                               the probes
+    slice_bound_every: int = 1    # iterations between whitening-geometry
+    #                               (_slim_bounds) refreshes in the
+    #                               kill+slice regime.  1 = refresh
+    #                               every iteration (the measured-safe
+    #                               default at kill_k=nlive/4, where
+    #                               the live set turns over 25% per
+    #                               iteration).  The kill+slice regime
+    #                               is ITERATION-bound at R=1024 (r4
+    #                               measurement: evals/px -29%, wall
+    #                               +3%), so amortizing the refresh
+    #                               buys wall directly -- but staleness
+    #                               degrades chain mixing (the comment
+    #                               at the refresh site), so any
+    #                               cadence > 1 must re-verify the
+    #                               D=12 lnZ bias pins
     stall_limit: int = 64         # consecutive zero-fill iterations
     #                               after which a run is abandoned
     #                               (marked done, not converged).
@@ -354,6 +369,30 @@ class NSConfig:
     #                               fraction f (Fowlie+2020); see
     #                               test_log_zero_floor for the exact
     #                               model
+    init_factor: int = 1          # oversampled-init multiplier: draw
+    #                               init_factor * nlive initial points,
+    #                               keep the best nlive as the live set
+    #                               and record the worst
+    #                               (init_factor-1) * nlive as REAL
+    #                               deaths of a decreasing-live-count
+    #                               phase (denominators L0, L0-1, ...,
+    #                               nlive+1) -- standard variable-nlive
+    #                               nested sampling, exact order
+    #                               statistics, zero bias.  This is the
+    #                               root fix for mode loss: a narrow
+    #                               signal basin of prior fraction f is
+    #                               born empty in (1-f)^L0 of runs
+    #                               instead of (1-f)^nlive, while the
+    #                               kill-down phase only compresses
+    #                               lnX by ln(init_factor) and costs
+    #                               (init_factor-1)*nlive extra
+    #                               likelihood evals per run (~1% of a
+    #                               rung-2 fit at 4x) with NO extra
+    #                               iterations -- the init deaths are
+    #                               recorded in one shot.  (The role of
+    #                               MultiNest's per-pixel nlive boost,
+    #                               reference main.py:444-447, without
+    #                               paying the 4x run length.)
     init_stratified: bool = True  # Latin-hypercube initial live set:
     #                               per (run, dim) the L draws hit
     #                               every 1/L quantile bin exactly once
@@ -389,7 +428,10 @@ class NSConfig:
     #                               practice) beats a halving ladder
 
     def resolved(self, ndim: int) -> "NSConfig":
-        max_iter = self.max_iter if self.max_iter > 0 else 120 * self.nlive
+        # the auto death budget grows by the init kill-down's deaths so
+        # oversampled init never eats into the main-phase budget
+        max_iter = self.max_iter if self.max_iter > 0 \
+            else 120 * self.nlive + self.n_init_dead()
         n_repeats = self.n_repeats if self.n_repeats > 0 else 2 * ndim
         # decorrelation depth of the slice fills: ~ndim/3 whitened
         # repeats per insert, floored at 3 (and never above ndim/2,
@@ -432,18 +474,34 @@ class NSConfig:
         """Proposal candidates per iteration (requires resolved cfg)."""
         return max(1, self.cand_factor * self.kill_k)
 
+    def n_init_dead(self) -> int:
+        """Deaths recorded by the oversampled-init kill-down phase."""
+        return max(0, (self.init_factor - 1) * self.nlive)
 
-def _weight_tables(nlive: int, kill_k: int, max_iter: int):
+
+def _weight_tables(nlive: int, kill_k: int, max_iter: int,
+                   n_init_dead: int = 0):
     """Static per-death compression tables.
 
-    Death ``t`` (0-based, per run) has within-batch rank ``t % kill_k``
-    and compresses ``ln X`` by ``d(t) = 1/(nlive - t % kill_k)`` (order
-    statistics of the k-th worst of ``nlive`` uniform prior-volume
-    draws).  Returns ``LNX[max_iter + 1]`` (ln volume after t deaths)
-    and ``LNW[max_iter]`` (ln of the volume element assigned to death
-    t: ``ln(X_t - X_{t+1})``).
+    With ``n_init_dead > 0`` the first ``n_init_dead`` deaths belong to
+    the oversampled-init kill-down phase (``NSConfig.init_factor``):
+    death ``j`` there is the single worst of ``L0 - j`` live points
+    (``L0 = nlive + n_init_dead``), compressing ``ln X`` by
+    ``1/(L0 - j)`` -- standard decreasing-live-count nested sampling.
+    Every later death ``t`` has within-batch rank
+    ``(t - n_init_dead) % kill_k`` and compresses by
+    ``d(t) = 1/(nlive - rank)`` (order statistics of the k-th worst of
+    ``nlive`` uniform prior-volume draws).  Returns
+    ``LNX[max_iter + 1]`` (ln volume after t deaths) and
+    ``LNW[max_iter]`` (ln of the volume element assigned to death t:
+    ``ln(X_t - X_{t+1})``).
     """
-    d = 1.0 / (nlive - (np.arange(max_iter) % kill_k))
+    n_init_dead = min(n_init_dead, max_iter)
+    L0 = nlive + n_init_dead
+    d_init = 1.0 / (L0 - np.arange(n_init_dead))
+    n_main = max_iter - n_init_dead
+    d_main = 1.0 / (nlive - (np.arange(n_main) % kill_k))
+    d = np.concatenate([d_init, d_main])
     lnx = np.concatenate([[0.0], -np.cumsum(d)])
     lnw = lnx[:-1] + np.log1p(-np.exp(-d))
     return lnx, lnw
@@ -1133,36 +1191,64 @@ def _global_chol(bounds, cfg: NSConfig = None):
 
 def ns_init(key, loglike2, data, ndim: int, n_runs: int, cfg: NSConfig,
             dtype=jnp.float32) -> _State:
-    """Draw and evaluate the initial live-point set."""
+    """Draw and evaluate the initial live-point set.
+
+    With ``cfg.init_factor > 1``: draw ``L0 = init_factor * nlive``
+    prior points, record the worst ``L0 - nlive`` as the deaths of a
+    decreasing-live-count phase (exact order statistics; see
+    ``_weight_tables``), and keep the best ``nlive`` as the live set.
+    """
     cfg = cfg.resolved(ndim)
     R, L, D = n_runs, cfg.nlive, ndim
+    n_id = min(cfg.n_init_dead(), cfg.max_iter)
+    L0 = L + n_id
     key, k_init, k_perm = random.split(key, 3)
-    u0 = random.uniform(k_init, (L, R, D), dtype=dtype)
-    if cfg.init_stratified and L > 1:
+    u0 = random.uniform(k_init, (L0, R, D), dtype=dtype)
+    if cfg.init_stratified and L0 > 1:
         # Latin-hypercube stratification (see NSConfig.init_stratified):
         # independent random permutation per (run, dim) column via the
         # rank of iid uniform scores; u0 becomes the in-bin offset
         ranks = jnp.argsort(
-            jnp.argsort(random.uniform(k_perm, (L, R, D)), axis=0),
+            jnp.argsort(random.uniform(k_perm, (L0, R, D)), axis=0),
             axis=0,
         )
-        u0 = (ranks.astype(dtype) + u0) / L
-    # evaluate the L x R initial points in bounded equal chunks via a
+        u0 = (ranks.astype(dtype) + u0) / L0
+    # evaluate the L0 x R initial points in bounded equal chunks via a
     # scan (lax.map): ONE likelihood trace regardless of chunk count
     # -- the old unrolled Python loop traced the model L/init_chunk
     # times, a measurable share of the init program's compile time.
     # (lax.map's batch_size= path is avoided: it compiles
     # pathologically slowly on some TPU backends.)
-    c = max(1, min(cfg.init_chunk, L))
-    n_pad = (-L) % c
+    c = max(1, min(cfg.init_chunk, L0))
+    n_pad = (-L0) % c
     u_ev = jnp.concatenate([u0, u0[:n_pad]], axis=0) if n_pad else u0
     lnl0 = lax.map(
         lambda uc: loglike2(uc, data), u_ev.reshape(-1, c, R, D)
-    ).reshape(-1, R)[:L]                                      # [L, R]
-    u0 = jnp.transpose(u0, (1, 0, 2))
-    lnl0 = jnp.transpose(lnl0)
+    ).reshape(-1, R)[:L0]                                     # [L0, R]
+    u0 = jnp.transpose(u0, (1, 0, 2))                         # [R,L0,D]
+    lnl0 = jnp.transpose(lnl0)                                # [R, L0]
     shift = jnp.max(lnl0, axis=1)
     lnl0 = lnl0 - shift[:, None]
+    dead_u = jnp.zeros((R, cfg.max_iter, D), dtype=dtype)
+    dead_lnl = jnp.full((R, cfg.max_iter), _NEG, dtype=dtype)
+    lnz0 = jnp.full((R,), _NEG, dtype=dtype)
+    if n_id > 0:
+        # kill-down: worst n_id points die in ascending-lnl order
+        # (deaths 0..n_id-1 of the decreasing-live-count phase); the
+        # best L survive as the live set
+        neg_vals, worst_ix = lax.top_k(-lnl0, n_id)           # [R,n_id]
+        worst_lnl = -neg_vals                                 # ascending
+        worst_u = jnp.take_along_axis(u0, worst_ix[..., None], axis=1)
+        dead_u = dead_u.at[:, :n_id].set(worst_u)
+        dead_lnl = dead_lnl.at[:, :n_id].set(worst_lnl)
+        _, lnw_np = _weight_tables(L, cfg.kill_k, cfg.max_iter, n_id)
+        lnw_init = jnp.asarray(lnw_np[:n_id], dtype=dtype)
+        lnz0 = jax.scipy.special.logsumexp(
+            lnw_init[None, :] + worst_lnl, axis=1
+        )
+        live_lnl, live_ix = lax.top_k(lnl0, L)                # [R, L]
+        live_u = jnp.take_along_axis(u0, live_ix[..., None], axis=1)
+        u0, lnl0 = live_u, live_lnl
     act, act_np = _act_arrays(cfg, D, dtype)
     zombie0 = jnp.zeros((R, L), dtype=bool)
     bounds0 = _compute_bounds(u0, zombie0, act, act_np, cfg)
@@ -1171,17 +1257,17 @@ def ns_init(key, loglike2, data, ndim: int, n_runs: int, cfg: NSConfig,
         u=u0,
         lnl=lnl0,
         lnl_shift=shift,
-        lnz=jnp.full((R,), _NEG, dtype=dtype),
+        lnz=lnz0,
         done=jnp.zeros((R,), dtype=bool),
         converged=jnp.zeros((R,), dtype=bool),
-        n_deaths=jnp.zeros((R,), dtype=jnp.int32),
+        n_deaths=jnp.full((R,), n_id, dtype=jnp.int32),
         pending=jnp.zeros((R,), dtype=jnp.int32),
         thresh=jnp.full((R,), _NEG, dtype=dtype),
         zombie=jnp.zeros((R, L), dtype=bool),
         stall=jnp.zeros((R,), dtype=jnp.int32),
-        ncall=jnp.full((R,), L, dtype=jnp.int32),
-        dead_u=jnp.zeros((R, cfg.max_iter, D), dtype=dtype),
-        dead_lnl=jnp.full((R, cfg.max_iter), _NEG, dtype=dtype),
+        ncall=jnp.full((R,), L0, dtype=jnp.int32),
+        dead_u=dead_u,
+        dead_lnl=dead_lnl,
         i=jnp.int32(0),
         bounds=bounds0,
         acc_ema=jnp.asarray(1.0, dtype=dtype),
@@ -1273,7 +1359,8 @@ def _segment_core(state: _State, loglike2, data, cfg: NSConfig,
     K = cfg.kill_k
     T = cfg.n_cand()
     max_iter = cfg.max_iter
-    lnx_tab_np, lnw_tab_np = _weight_tables(L, K, max_iter)
+    lnx_tab_np, lnw_tab_np = _weight_tables(L, K, max_iter,
+                                            cfg.n_init_dead())
     lnx_tab = jnp.asarray(lnx_tab_np, dtype=dtype)
     lnw_tab = jnp.asarray(lnw_tab_np, dtype=dtype)
     rr = jnp.arange(R)
@@ -1555,7 +1642,8 @@ def ns_segment_slice(state: _State, loglike2, data, cfg: NSConfig,
     dtype = state.u.dtype
     C = cfg.kill_k
     max_iter = cfg.max_iter
-    lnx_tab_np, lnw_tab_np = _weight_tables(L, C, max_iter)
+    lnx_tab_np, lnw_tab_np = _weight_tables(L, C, max_iter,
+                                            cfg.n_init_dead())
     lnx_tab = jnp.asarray(lnx_tab_np, dtype=dtype)
     lnw_tab = jnp.asarray(lnw_tab_np, dtype=dtype)
     rr = jnp.arange(R)
@@ -1574,13 +1662,26 @@ def ns_segment_slice(state: _State, loglike2, data, cfg: NSConfig,
         (dead_u, dead_lnl, lnz, n_deaths, pending, zombie,
          thresh) = _kill_record(s, cfg, lnw_tab, rr)
         u_geo = _recenter(s.u, wrap)
-        # refresh the whitening geometry EVERY iteration here: one
-        # kill+slice iteration turns over kill_k/nlive (typically 25%)
-        # of the live set -- the staleness tolerated by the candidate
-        # regime's bound_every cadence would leave the slice brackets
-        # whitened by a covariance ~e^2 too wide after 4 cycles, which
-        # degrades chain mixing enough to bias lnZ (observed at D=12)
-        chol, mu, rmax = _slim_bounds(u_geo, zombie, act, act_np, cfg)
+        # refresh the whitening geometry every slice_bound_every
+        # iterations (default 1 = every iteration): one kill+slice
+        # iteration turns over kill_k/nlive of the live set -- the
+        # staleness tolerated by the candidate regime's bound_every
+        # cadence (4 cycles) would leave the slice brackets whitened
+        # by a covariance ~e^2 too wide, which degrades chain mixing
+        # enough to bias lnZ (observed at D=12).  A cadence of 2 at
+        # kill_k=nlive/4 keeps staleness at half that bound and is
+        # re-verified against the D=12 bias pins
+        # (tests/test_sampler.py slice-fill pins).
+        sbe = max(1, cfg.slice_bound_every)
+        if sbe == 1:
+            chol, mu, rmax = _slim_bounds(u_geo, zombie, act, act_np,
+                                          cfg)
+        else:
+            chol, mu, rmax = lax.cond(
+                (s.i % sbe) == 0,
+                lambda: _slim_bounds(u_geo, zombie, act, act_np, cfg),
+                lambda: s.bounds,
+            )
         need = (~s.done) & (pending > 0)
 
         key, k1, k2 = random.split(s.key, 3)
@@ -1699,7 +1800,8 @@ def ns_rebuild_bounds(state: _State, cfg: NSConfig):
     lnball = float(
         0.5 * d_act * np.log(np.pi) - math.lgamma(0.5 * d_act + 1.0)
     )
-    lnx_np, _ = _weight_tables(L, cfg.kill_k, cfg.max_iter)
+    lnx_np, _ = _weight_tables(L, cfg.kill_k, cfg.max_iter,
+                               cfg.n_init_dead())
     lnx = jnp.asarray(lnx_np, dtype)[
         jnp.clip(state.n_deaths, 0, cfg.max_iter)
     ]                                                            # [R]
@@ -1840,7 +1942,8 @@ def ns_finalize(state: _State, cfg: NSConfig) -> NSResult:
     dtype = state.u.dtype
     max_iter = cfg.max_iter
     shift = state.lnl_shift
-    lnx_tab_np, lnw_tab_np = _weight_tables(L, cfg.kill_k, max_iter)
+    lnx_tab_np, lnw_tab_np = _weight_tables(L, cfg.kill_k, max_iter,
+                                            cfg.n_init_dead())
 
     n_dead = jnp.minimum(state.n_deaths, max_iter)
     dead_lnw = jnp.broadcast_to(
@@ -1894,6 +1997,23 @@ def ns_finalize(state: _State, cfg: NSConfig) -> NSResult:
     )
 
 
+# Cap for the id-keyed program caches below (and fit.py's): a
+# long-lived process fitting many cubes would otherwise grow them
+# without bound (each entry pins a jit program + closures).  Eviction
+# is insertion-order (oldest first) and safe against id() recycling:
+# every cache entry holds a strong reference to the object its key's
+# id() refers to, so an id can only be recycled once no cache keys it.
+_CACHE_CAP = 512
+
+
+def _cache_put(cache: dict, key, value, cap: int = 0):
+    """Insert with oldest-first eviction once the cache exceeds cap."""
+    cap = cap or _CACHE_CAP
+    while len(cache) >= cap:
+        cache.pop(next(iter(cache)))
+    cache[key] = value
+
+
 # memoized _normalize_loglike wrappers: the wrapper's id() keys
 # _JIT_CACHE/_AOT_CACHE, so a fresh closure per run_nested call would
 # silently defeat compile reuse across pixel batches (every fit_batch
@@ -1921,7 +2041,7 @@ def _normalize_loglike(loglike, data):
             return base(u, d)
 
         # hold a strong ref to loglike so its id stays unique
-        _NORM_CACHE[key] = (wrapped, loglike)
+        _cache_put(_NORM_CACHE, key, (wrapped, loglike))
     return _NORM_CACHE[key][0], data
 
 
@@ -2040,14 +2160,14 @@ def _get_jit(loglike2, cfg, ndim, n_runs, dtype, kind):
             # segment's working set
             fn = jax.jit(run_seg, donate_argnums=(0,))
         # keep a strong reference to loglike2 so id() stays unique
-        _JIT_CACHE[key] = (fn, loglike2)
+        _cache_put(_JIT_CACHE, key, (fn, loglike2))
     fn = _JIT_CACHE[key][0]
     if aot is not None:
         # first use of a freshly AOT-compiled program: wire the jit
         # wrapper in as the mismatch fallback and memoize the dispatch
         name, compiled = aot
         disp = _AotDispatch(name, compiled, fn)
-        _AOT_CACHE[key] = disp
+        _cache_put(_AOT_CACHE, key, disp)
         return disp
     return fn
 
@@ -2285,7 +2405,7 @@ def run_nested(
                 v = base(u, d)
                 return jnp.where(v > lz, v, jnp.asarray(_NEG, v.dtype))
 
-            _LOGZERO_CACHE[lz_key] = (loglike_lz, base)
+            _cache_put(_LOGZERO_CACHE, lz_key, (loglike_lz, base))
         loglike2 = _LOGZERO_CACHE[lz_key][0]
 
     def apply_active(state):

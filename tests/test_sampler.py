@@ -671,3 +671,67 @@ def test_two_way_switch_evidence():
     assert np.all(np.asarray(res.converged))
     assert np.all(np.abs(lnz - lnz_true) < 4 * err), (lnz, lnz_true, err)
     assert abs(lnz.mean() - lnz_true) < 2 * err.mean() / np.sqrt(8) + 0.15
+
+
+def test_weight_tables_init_dead():
+    """Oversampled-init tables: the kill-down phase's deaths compress
+    by exact decreasing-live-count order statistics (1/L0, 1/(L0-1),
+    ..., 1/(nlive+1)), then the cyclic batched-kill schedule resumes
+    unchanged."""
+    from nestfit_tpu.sampling.sampler import _weight_tables
+
+    L, K, MI, NID = 10, 4, 30, 20
+    L0 = L + NID
+    lnx, lnw = _weight_tables(L, K, MI, NID)
+    d_init = 1.0 / (L0 - np.arange(NID))
+    assert np.allclose(np.diff(lnx[: NID + 1]), -d_init)
+    # the main phase is the plain table shifted by the init compression
+    lnx0, lnw0 = _weight_tables(L, K, MI - NID)
+    assert np.allclose(lnx[NID:], lnx0 + lnx[NID])
+    assert np.allclose(lnw[NID:], lnw0 + lnx[NID])
+    # weights are exact volume differences everywhere
+    assert np.allclose(
+        np.exp(lnw), np.exp(lnx[:-1]) - np.exp(lnx[1:]), rtol=1e-12
+    )
+
+
+def test_oversampled_init_structure():
+    """init_factor > 1: ns_init records (init_factor-1)*nlive deaths in
+    ascending-likelihood order, keeps the best nlive alive, counts all
+    draws in ncall, and seeds lnz with the init deaths' contribution."""
+    from nestfit_tpu.sampling.sampler import _weight_tables, ns_init
+
+    L, R, D, F = 32, 3, 4, 4
+    cfg = NSConfig(nlive=L, tol=1.0, init_factor=F)
+    loglike2 = lambda u, _d: -jnp.sum((u - 0.5) ** 2, axis=-1)  # noqa: E731
+    st = ns_init(random.key(11), loglike2, None, D, R, cfg,
+                 dtype=jnp.float32)
+    nid = (F - 1) * L
+    assert np.all(np.asarray(st.n_deaths) == nid)
+    assert np.all(np.asarray(st.ncall) == F * L)
+    dead = np.asarray(st.dead_lnl)[:, :nid]
+    live = np.asarray(st.lnl)
+    # deaths ascending, and every death weaker than every live point
+    assert np.all(np.diff(dead, axis=1) >= 0)
+    assert np.all(dead.max(axis=1) <= live.min(axis=1) + 1e-6)
+    # lnz seeded with exactly the init contribution
+    rcfg = cfg.resolved(D)
+    _, lnw = _weight_tables(L, rcfg.kill_k, rcfg.max_iter, nid)
+    want = np.logaddexp.reduce(lnw[None, :nid] + dead, axis=1)
+    assert np.allclose(np.asarray(st.lnz), want, atol=1e-5)
+
+
+def test_oversampled_init_evidence_unbiased():
+    """init_factor=4 keeps the analytic-Gaussian evidence within the
+    iid-init pin's tolerance (the kill-down phase is exact NS with a
+    decreasing live count, not an approximation)."""
+    ndim, sigma, R = 4, 0.05, 8
+    cfg = NSConfig(nlive=100, tol=0.1, method="slice", init_factor=4)
+    res = run_nested(random.key(3), gaussian_loglike(sigma), ndim, R,
+                     cfg, dtype=jnp.float64)
+    lnz_true = 0.5 * ndim * np.log(2 * np.pi * sigma**2)
+    lnz = np.asarray(res.lnz)
+    err = np.asarray(res.lnz_err)
+    assert np.all(np.asarray(res.converged))
+    assert np.all(np.abs(lnz - lnz_true) < 4 * np.maximum(err, 0.05))
+    assert abs(lnz.mean() - lnz_true) < 2 * err.mean() / np.sqrt(R) + 0.1

@@ -107,12 +107,27 @@ def main():
             err = np.asarray(r.ns.lnz_err)
             nc = np.asarray(r.ns.ncall, dtype=np.int64)
             null = np.asarray(r.null_lnz)
+            bf = np.asarray(r.products.bestfit_params)
+            mp = np.asarray(r.products.map_params)
+            med = np.asarray(r.products.marginals)
+            sd = np.asarray(r.products.std_params)
+            # median row of the marginal quantiles ("p50" of the 15
+            # reference quantiles, core.pyx:585-594)
+            from nestfit_tpu.sampling.results import MARGINAL_COLS
+            i_med = MARGINAL_COLS.index("p50")
             print(f"{tag} ncomp={n}: {time.time()-t0:.0f}s "
                   f"evals/px={nc[:len(pix)].mean():.0f}", flush=True)
             for j, i in enumerate(pix):
                 d = rec.setdefault(str(i), {})
                 d[f"lnz{n}"] = float(lnz[j])
                 d[f"lnz{n}_err"] = float(err[j])
+                # parameter vectors for the MAP-agreement gate
+                # (VERDICT r4 item 3): max-likelihood (bestfit), MAP,
+                # marginal median, and posterior std per parameter
+                d[f"bestfit{n}"] = np.round(bf[j], 5).tolist()
+                d[f"map{n}"] = np.round(mp[j], 5).tolist()
+                d[f"median{n}"] = np.round(med[j, i_med], 5).tolist()
+                d[f"std{n}"] = np.round(sd[j], 5).tolist()
                 if n == 1:
                     d["null_lnz"] = float(null[j])
         out["runs"][tag] = rec
