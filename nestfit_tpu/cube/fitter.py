@@ -70,14 +70,19 @@ class CubeFitter:
     a later ``fit_cube(..., resume=True)`` picks them up).
     """
 
-    ns_default_kwargs = {"nlive": 100, "tol": 1.0}
+    # init_factor=4: oversampled-init kill-down (sampler.NSConfig),
+    # the root fix for narrow-basin mode loss -- measured on the bench
+    # cube: rung-2 nested-floor violations 36 -> 27 per 1024 at ~1%
+    # eval cost
+    ns_default_kwargs = {"nlive": 100, "tol": 1.0, "init_factor": 4}
 
     def __init__(self, stack, utrans, runner_cls, runner_kwargs=None,
                  lnZ_thresh=11, ncomp_max=2, ns_kwargs=None,
                  nlive_snr_fact=5, batch_size=1024, n_post=0,
                  nlive_buckets=4, segment_iters=256, mesh=None,
                  max_retries=1, mode_loss_margin=8.0,
-                 mode_loss_retries=2):
+                 mode_loss_retries=2, boundary_band=6.0,
+                 boundary_nlive_mult=2):
         self.stack = stack
         self.utrans = utrans
         self.runner_cls = runner_cls
@@ -112,6 +117,19 @@ class CubeFitter:
         # re-fit with a fresh key and the consistent run kept.
         self.mode_loss_margin = mode_loss_margin
         self.mode_loss_retries = mode_loss_retries
+        # Boundary-band refinement: pixels whose evidence gain lands
+        # within ``boundary_band`` nats of ``lnZ_thresh`` get ONE
+        # re-fit at ``boundary_nlive_mult * nlive`` and the
+        # higher-nlive result SUPERSEDES unconditionally (deterministic
+        # replacement, not outcome selection, so no bias).  This is
+        # the targeted form of the reference's SNR-scaled nlive boost
+        # (main.py:444-447): spend live points exactly where the
+        # N-selection decision is delicate -- seed-level lnZ scatter
+        # and narrow-basin mode loss both concentrate their nbest
+        # flips in this band (validation/selection_sharpness.md).
+        # Set boundary_band=0 to disable.
+        self.boundary_band = boundary_band
+        self.boundary_nlive_mult = boundary_nlive_mult
         self._jit_cache = {}
 
     # mn_kwargs alias for reference API parity
@@ -388,6 +406,67 @@ class CubeFitter:
             )
         return fit, lnz
 
+    def _refine_boundary(self, key, fit, lnz, prev, cur_ix, r_pad,
+                         ncomp, cfg, datas, noises):
+        """Re-fit decision-boundary pixels at a higher live count.
+
+        Pixels with ``|gain - lnZ_thresh| <= boundary_band`` are re-run
+        at ``boundary_nlive_mult * nlive`` (same max_iter, so every
+        per-run record row merges) and the refined rows replace the
+        originals UNCONDITIONALLY -- more live points is strictly
+        better resolution, and replacement decided before seeing the
+        outcome carries no selection bias.  Mirrors the reference's
+        per-pixel nlive boost (main.py:444-447) in targeted form.
+
+        Note: for refined pixels the stored ``nlive`` attr remains the
+        batch's base value (NSResult metadata is batch-level); their
+        ``n_dead``/``ncall`` reflect the refined run.
+        """
+        import dataclasses
+
+        from nestfit_tpu.sampling.fit import merge_fit_rows
+
+        if self.boundary_band <= 0 or self.boundary_nlive_mult <= 1:
+            return fit, lnz
+        gain = lnz - prev
+        band = np.flatnonzero(
+            np.abs(gain - self.lnZ_thresh) <= self.boundary_band
+        )
+        if band.size == 0:
+            return fit, lnz
+        ndim = self.utrans.n_param * ncomp
+        cfg_b = dataclasses.replace(
+            cfg, nlive=self.boundary_nlive_mult * cfg.nlive,
+            max_iter=cfg.resolved(ndim).max_iter,
+        )
+        log.info(
+            "boundary refine: %d/%d runs at ncomp=%d within %.0f nats "
+            "of the %.0f-nat gate; re-fitting at nlive=%d",
+            band.size, cur_ix.size, ncomp, self.boundary_band,
+            self.lnZ_thresh, cfg_b.nlive,
+        )
+        r_b = self._pad_quantum(band.size)
+        pad_ix = np.concatenate([
+            cur_ix[band], np.full(r_b - band.size, cur_ix[band][0]),
+        ])
+        d_b = [jnp.asarray(d[pad_ix], dtype=jnp.float32) for d in datas]
+        n_b = [jnp.asarray(np.maximum(nn[pad_ix], 1e-30),
+                           dtype=jnp.float32) for nn in noises]
+        key, sub = random.split(key)
+        template = self._get_template_runner(ncomp, r_b, d_b, n_b)
+        data_tree = self._shard_batch(tuple(zip(d_b, n_b)))
+        fit_b = fit_batch(
+            sub, template, r_b, cfg_b, n_post=self.n_post,
+            segment_iters=self.segment_iters, data=data_tree,
+            active=np.arange(r_b) < band.size,
+        )
+        lnz_b = np.asarray(fit_b.lnz)[: band.size]
+        fit = merge_fit_rows(fit, fit_b, band,
+                             np.arange(band.size), r_pad, r_b)
+        lnz = lnz.copy()
+        lnz[band] = lnz_b
+        return fit, lnz
+
     def _fit_batch_ladder(self, key, batch_ix, datas, noises, cfg,
                           chunk_path, n_lat):
         """Run the 1..ncomp_max ladder for one pixel batch and write
@@ -410,7 +489,7 @@ class CubeFitter:
             d_b = [jnp.asarray(d[pad_ix], dtype=jnp.float32) for d in datas]
             n_b = [jnp.asarray(np.maximum(n[pad_ix], 1e-30),
                                dtype=jnp.float32) for n in noises]
-            key, sub, k_retry = random.split(key, 3)
+            key, sub, k_retry, k_band = random.split(key, 4)
             t0 = time.time()
             template = self._get_template_runner(ncomp, r_pad, d_b, n_b)
             data_tree = self._shard_batch(tuple(zip(d_b, n_b)))
@@ -434,6 +513,10 @@ class CubeFitter:
                 prev = old_lnz
             fit, lnz = self._refit_mode_losses(
                 k_retry, fit, lnz, prev, cur_ix, r_pad, ncomp, cfg,
+                datas, noises,
+            )
+            fit, lnz = self._refine_boundary(
+                k_band, fit, lnz, prev, cur_ix, r_pad, ncomp, cfg,
                 datas, noises,
             )
             fits[ncomp] = (fit, cur_ix)

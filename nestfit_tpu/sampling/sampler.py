@@ -274,6 +274,26 @@ class NSConfig:
     #                               lockstep device round (proposals
     #                               are evaluated in speculative
     #                               pairs)
+    spec_width: int = 2           # speculative proposals per likelihood
+    #                               launch in the shrinkage loop.  The
+    #                               bracket of proposal k depends only
+    #                               on the VALUES and SIGNS of
+    #                               proposals 1..k-1 (all drawn before
+    #                               any likelihood is known), so a
+    #                               whole chain prefix can be drawn
+    #                               up-front and evaluated in ONE
+    #                               launch; sequential first-accept
+    #                               semantics are reproduced exactly
+    #                               and later proposals count as
+    #                               consumed only where every earlier
+    #                               one rejected.  Width 3 cuts the
+    #                               hottest loop's launch count by a
+    #                               third vs pairs (2 rounds instead
+    #                               of 3 at max_contract=6) at
+    #                               slightly more padding compute --
+    #                               the right trade when per-launch
+    #                               overhead owns the wall (R=1024
+    #                               lockstep through a remote worker).
     cov_reg: float = 1e-10        # covariance diagonal regularizer
     ell_fudge: float = 1.05       # ellipsoid enlargement over max
     #                               Mahalanobis radius.  The radius
@@ -460,11 +480,29 @@ class NSConfig:
         elif self.kill_k > 0:
             kill_k = min(self.kill_k, self.nlive // 2)
         else:
-            # kill a quarter of the live set per fill-cycle: sequential
-            # depth per information nat is ~(nlive/kill_k), so a large
-            # fixed fraction keeps the device busy with wide candidate
-            # batches instead of many tiny sequential proposal rounds
-            kill_k = max(1, self.nlive // 4)
+            # Dimension-aware batched-deletion width (r5 measurement,
+            # analytic D=6/D=12 Gaussians, f64, default path):
+            #   D=6:  kill_k = nlive/2 bias +0.12 == nlive/4 -- SAFE
+            #         (low-D runs are candidate-dominated; independent
+            #         inserts carry no batch-width bias), and the NH3
+            #         D=6 rung's wall falls 23% (14.5 -> 11.1 s at
+            #         R=1024) from the halved iteration count;
+            #   D=12: the slice-regime correlated-insert bias CLIFFS
+            #         when the chain count approaches half the
+            #         survivor count -- kill_k 25/32/33/40/50 of
+            #         nlive=100 measured +0.26/+0.26/+0.84/+1.02/+1.48
+            #         nats (chains/survivors 0.33/0.47/0.49/0.67/1.0):
+            #         every fill-cycle then rebuilds the threshold
+            #         shell from endpoints correlated to the same
+            #         survivor set and the candidate-phase dilution
+            #         stops.  The razor edge near 0.47-0.49 makes
+            #         nlive/3 too dangerous to sit at; high-D keeps
+            #         the measured-safe quarter width (and the NH3
+            #         D=12 rung gains under 5% from wider batches
+            #         anyway -- it is compute-bound, not
+            #         iteration-bound, on an idle worker).
+            frac = 2 if ndim <= 6 else 4
+            kill_k = max(1, self.nlive // frac)
         return dataclasses.replace(
             self, max_iter=max_iter, n_repeats=n_repeats, kill_k=kill_k,
             fallback_repeats=fallback,
@@ -682,27 +720,37 @@ def _shrink_slice(loglike2, data, shift, key, x0, lnl0, dirv, t_lo0,
     bookkeeping) and wrapped into the cube only for the likelihood
     evaluation.
 
-    **Speculative shrinkage**: each loop round evaluates TWO
-    sequential shrinkage proposals in one batched likelihood launch.
-    The second proposal's bracket depends only on the first's *sign*
-    (reject at t1 < 0 raises t_lo to t1; at t1 >= 0 lowers t_hi), not
-    on its accept/reject outcome, so t2 can be drawn from the
-    post-rejection bracket before t1's likelihood is known.  If t1
-    accepts, t2's evaluation is discarded padding (device work, never
-    counted as a consumed call); otherwise the pair reproduces the
-    exact sequential shrinkage chain.  This halves the number of
-    likelihood launches in the sampler's hottest loop -- each launch
+    **Speculative shrinkage**: each loop round evaluates
+    ``cfg.spec_width`` sequential shrinkage proposals in one batched
+    likelihood launch.  Proposal w's bracket is the bracket after
+    rejecting proposals 0..w-1, which depends only on their VALUES
+    (drawn before any likelihood is known): each rejection shrinks the
+    side its sign selects.  If an earlier proposal accepts, the later
+    evaluations are discarded padding (device work, never counted as
+    consumed calls); otherwise the group reproduces the exact
+    sequential shrinkage chain.  This divides the number of likelihood
+    launches in the sampler's hottest loop by the width -- each launch
     is wide (chains x runs lanes) but launch/bookkeeping overhead per
     while_loop round dominated the slice regime's wall clock
     (measured: the 6-repeat x 8-round regime was ~2/3 of rung-2 wall
     at R=1024).
     """
     dtype = x0.dtype
-    n_rounds = (cfg.max_contract + 1) // 2
-    # odd budgets: the final round's speculative second proposal would
-    # exceed max_contract by one; mask it so the consumed-call budget
-    # is exact (the even default keeps this branch out of the trace)
-    odd_budget = cfg.max_contract % 2 == 1
+    W = max(1, min(cfg.spec_width, cfg.max_contract))
+    n_rounds = (cfg.max_contract + W - 1) // W
+    # budgets not divisible by W: trailing speculative proposals would
+    # exceed max_contract; they are masked per proposal so the
+    # consumed-call budget is exact
+    B = cfg.max_contract
+
+    def pt(t):
+        # the bracket is cube-intersected, so xp is in-cube up to
+        # rounding; clip instead of penalizing
+        xr = x0 + t[..., None] * dirv
+        xp = jnp.clip(xr, 0.0, 1.0)
+        if wrap is not None:
+            xp = jnp.where(wrap, xr, xp)
+        return xp
 
     def sh_cond(carry):
         j, _key, _t_lo, _t_hi, _x, _lnl, _t_acc, acc, _ncall = carry
@@ -710,67 +758,53 @@ def _shrink_slice(loglike2, data, shift, key, x0, lnl0, dirv, t_lo0,
 
     def sh_body(carry):
         j, key, t_lo, t_hi, x, lnl, t_acc, acc, ncall = carry
-        key, kt1, kt2 = random.split(key, 3)
-        use2 = (2 * (j + 1) <= cfg.max_contract) if odd_budget else True
-        t1 = t_lo + (t_hi - t_lo) * random.uniform(
-            kt1, lnl_star.shape, dtype=dtype
-        )
-        # speculative second proposal: the bracket after a t1
-        # rejection is known from t1's sign alone
-        t_lo1 = jnp.where(t1 < 0, t1, t_lo)
-        t_hi1 = jnp.where(t1 >= 0, t1, t_hi)
-        t2 = t_lo1 + (t_hi1 - t_lo1) * random.uniform(
-            kt2, lnl_star.shape, dtype=dtype
-        )
-
-        def pt(t):
-            # the bracket is cube-intersected, so xp is in-cube up to
-            # rounding; clip instead of penalizing
-            xr = x0 + t[..., None] * dirv
-            xp = jnp.clip(xr, 0.0, 1.0)
-            if wrap is not None:
-                xp = jnp.where(wrap, xr, xp)
-            return xp
-
-        xp1, xp2 = pt(t1), pt(t2)
-        pair = jnp.concatenate([xp1[None], xp2[None]], axis=0)
+        keys = random.split(key, W + 1)
+        key = keys[0]
+        # draw the whole speculative chain prefix up-front: proposal
+        # w's bracket is the bracket after rejecting proposals 0..w-1,
+        # known from their values alone (no likelihood needed); the
+        # sign of each rejected proposal decides which side shrinks
+        tl, th = t_lo, t_hi
+        ts, wbs = [], []
+        for w in range(W):
+            wb = (j * W + w) < B          # within the consumed budget
+            t = tl + (th - tl) * random.uniform(
+                keys[w + 1], lnl_star.shape, dtype=dtype
+            )
+            ts.append(t)
+            wbs.append(wb)
+            # out-of-budget proposals neither shrink nor evaluate
+            tl = jnp.where(wb & (t < 0), t, tl)
+            th = jnp.where(wb & (t >= 0), t, th)
+        stack = jnp.concatenate([pt(t)[None] for t in ts], axis=0)
         lnlp = loglike2(
-            _wrap_pts(pair, wrap).reshape((-1,) + x0.shape[1:]), data
-        ).reshape((2,) + lnl_star.shape) - shift
-        ok1 = lnlp[0] > lnl_star
-        ok2 = lnlp[1] > lnl_star
-        if odd_budget:
-            ok2 = ok2 & use2
-        # sequential accept order: t1 first, else t2
-        new1 = ok1 & ~acc
-        new2 = (~ok1) & ok2 & ~acc
-        x = jnp.where(new1[..., None], xp1,
-                      jnp.where(new2[..., None], xp2, x))
-        lnl = jnp.where(new1, lnlp[0], jnp.where(new2, lnlp[1], lnl))
-        t_acc = jnp.where(new1, t1, jnp.where(new2, t2, t_acc))
-        # count only evaluations the *algorithm* consumed: once a lane
-        # has accepted, further lockstep rounds (the batch waits for
-        # its slowest lane) are SIMD padding, not likelihood calls the
-        # sequential algorithm would have made -- the reference's
-        # "~5k evals/fit" (docs/overview.rst:7-11) counts calls in
-        # that per-run sense.  t2's evaluation is consumed only when
-        # t1 was rejected (sequential shrinkage would have made it).
-        live = ~(done | acc)
-        nc2 = live & ~ok1
-        if odd_budget:
-            nc2 = nc2 & use2
-        ncall = ncall + jnp.where(live, 1, 0) + jnp.where(nc2, 1, 0)
-        acc = acc | ok1 | ok2
-        # both rejected: apply t1's shrink, then t2's (t2's only when
-        # its evaluation was within the budget)
+            _wrap_pts(stack, wrap).reshape((-1,) + x0.shape[1:]), data
+        ).reshape((W,) + lnl_star.shape) - shift
+        # sequential first-accept semantics; count only evaluations
+        # the *algorithm* consumed: proposal w exists in the
+        # sequential chain only where every earlier proposal of this
+        # round rejected, and once a lane has accepted, further
+        # lockstep rounds (the batch waits for its slowest lane) are
+        # SIMD padding, not likelihood calls the sequential algorithm
+        # would have made -- the reference's "~5k evals/fit"
+        # (docs/overview.rst:7-11) counts calls in that per-run sense.
+        live0 = ~(done | acc)
+        taken = jnp.zeros_like(acc)
+        for w in range(W):
+            okw = (lnlp[w] > lnl_star) & wbs[w]
+            new = okw & ~acc & ~taken
+            x = jnp.where(new[..., None], pt(ts[w]), x)
+            lnl = jnp.where(new, lnlp[w], lnl)
+            t_acc = jnp.where(new, ts[w], t_acc)
+            consumed = live0 & ~taken & wbs[w]
+            ncall = ncall + jnp.where(consumed, 1, 0)
+            taken = taken | new
+        acc = acc | taken
+        # every in-budget proposal rejected: the accumulated bracket
+        # (tl, th) is the post-round bracket
         miss = ~acc
-        t_lo2 = jnp.where(t2 < 0, t2, t_lo1)
-        t_hi2 = jnp.where(t2 >= 0, t2, t_hi1)
-        if odd_budget:
-            t_lo2 = jnp.where(use2, t_lo2, t_lo1)
-            t_hi2 = jnp.where(use2, t_hi2, t_hi1)
-        t_lo = jnp.where(miss, t_lo2, t_lo)
-        t_hi = jnp.where(miss, t_hi2, t_hi)
+        t_lo = jnp.where(miss, tl, t_lo)
+        t_hi = jnp.where(miss, th, t_hi)
         return j + 1, key, t_lo, t_hi, x, lnl, t_acc, acc, ncall
 
     acc0 = jnp.zeros_like(lnl_star, dtype=bool)
@@ -1970,7 +2004,18 @@ def ns_finalize(state: _State, cfg: NSConfig) -> NSResult:
     all_lnl = jnp.concatenate([dead_lnl_s, live_lnl_s], axis=1)
     p = jnp.exp(all_lnwl - lnz_s[:, None])
     h = jnp.sum(jnp.where(all_lnl > _NEG / 2, p * all_lnl, 0.0), axis=1) - lnz_s
-    lnz_err = jnp.sqrt(jnp.maximum(h, 0.0) / L)
+    # evidence error: var(lnZ) ~ H * <d>, the classic H/nlive
+    # (Skilling 2006) generalized to batched deletion -- each death j
+    # compresses ln X by d_j = 1/(live count at its rank), so the
+    # per-death variance is d_j^2 and crossing the H nats of bulk
+    # takes H/<d> deaths: var ~ H * <d>.  <d> is read off the exact
+    # compression table as -lnX(n_dead)/n_dead.  For kill_k=1 this is
+    # exactly H/nlive; at kill_k=nlive/2 it is ~1.4x larger (the
+    # resolution really is coarser) -- quoting H/nlive there would
+    # overstate precision.
+    lnx_fin_tab = jnp.asarray(lnx_tab_np, dtype=dtype)
+    mean_d = -lnx_fin_tab[n_dead] / jnp.maximum(n_dead, 1).astype(dtype)
+    lnz_err = jnp.sqrt(jnp.maximum(h, 0.0) * mean_d)
 
     max_loglike = jnp.maximum(
         jnp.max(dead_lnl_s, axis=1), jnp.max(live_lnl_s, axis=1)

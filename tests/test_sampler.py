@@ -232,8 +232,12 @@ def test_compaction_bank_survives_regime_switch():
     def loglike(u, d):
         return jnp.where(d > 0, gl(u), 0.0)
 
+    # kill_k pinned at nlive/4: cand_min_acc=2.0 forces the pure slice
+    # regime, where the nlive/2 width the D<=6 auto rule picks carries
+    # the wide-batch correlated-insert bias (docs/limitations.md) --
+    # this test exercises the bank/switch plumbing, not that corner
     cfg = NSConfig(nlive=50, tol=0.1, min_compact=8, bound_every=4,
-                   cand_min_acc=2.0)
+                   cand_min_acc=2.0, kill_k=12)
     res = run_nested(random.key(3), loglike, ndim, R, cfg,
                      dtype=jnp.float64, data=flag, segment_iters=4)
     assert np.all(np.asarray(res.converged))

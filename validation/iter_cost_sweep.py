@@ -67,10 +67,12 @@ def main():
     timed = os.environ.get("SWEEP_TIMED", "1") != "0"
     noise = 0.15
 
+    # combo syntax: "kk,sbe[,init_factor[,max_contract[,repeats[,specw]]]]"
     combos = []
     for arg in (sys.argv[1:] or ["0,1", "50,1", "0,2", "50,2"]):
-        kk, sbe = arg.split(",")
-        combos.append((int(kk), int(sbe)))
+        f = [int(x) for x in arg.split(",")]
+        f += [1, 6, 0, 2][len(f) - 2:]
+        combos.append(tuple(f[:6]))
 
     print(f"sweep: devices={jax.devices()} n_pix={n_pix} "
           f"combos={combos}", file=sys.stderr, flush=True)
@@ -128,10 +130,13 @@ def main():
         out["ladder_wall_s"] = out[1]["wall_s"] + out[2]["wall_s"]
         return out
 
-    for kk, sbe in combos:
+    for kk, sbe, inif, mc, rep, sw in combos:
         cfg = NSConfig(nlive=100, tol=1.0, kill_k=kk,
-                       slice_bound_every=sbe)
-        tag = f"kk{kk or 'auto'}-sbe{sbe}"
+                       slice_bound_every=sbe, init_factor=inif,
+                       max_contract=mc, fallback_repeats=rep,
+                       spec_width=sw)
+        tag = (f"kk{kk or 'auto'}-sbe{sbe}-if{inif}-mc{mc}"
+               f"-rep{rep or 'auto'}-sw{sw}")
         t0 = time.perf_counter()
         warm = ladder(random.key(0), cfg)
         t_warm = time.perf_counter() - t0
@@ -139,6 +144,8 @@ def main():
               f"(ladder {warm['ladder_wall_s']:.1f}s)",
               file=sys.stderr, flush=True)
         rec = {"combo": tag, "kill_k": kk, "slice_bound_every": sbe,
+               "init_factor": inif, "max_contract": mc,
+               "fallback_repeats": rep,
                "warmup_s": round(t_warm, 1), "warm": warm}
         if timed:
             rec["timed"] = ladder(random.key(seed), cfg)
