@@ -141,134 +141,121 @@ def main():
                                                   "4")))
     seg = int(os.environ.get("BENCH_SEGMENT_ITERS", "250"))
     mode_loss_margin = 8.0
-    # fixed retry batch width (one compile class, reused via data=),
-    # clamped for tiny smoke runs
-    r_retry = min(64, n_pix)
-
     runners = {n: make_runner(n) for n in (1, 2)}
-    # fixed-shape retry templates; per-retry pixel data enters as the
-    # ``data`` argument so the compiled sampler is reused
-    retry_runners = {n: make_runner(n, np.arange(r_retry)) for n in (1, 2)}
-    # boundary-band refinement (mirrors CubeFitter._refine_boundary):
-    # pixels whose evidence gain lands within BENCH_BOUNDARY_BAND nats
-    # of the 11-nat gate are re-fit once at 2x nlive and the refined
-    # rows supersede unconditionally (the targeted form of the
-    # reference's SNR-scaled nlive boost, main.py:444-447)
+    # ---- combined second pass (mirrors CubeFitter): ONE re-fit batch
+    # at 2x nlive serves BOTH quality mechanisms --
+    # * nested-model floor violators (objective mode loss): the
+    #   higher-resolution rerun replaces the record when better.  This
+    #   SUPERSEDES the old fallback_repeats=2*ndim escalation, which
+    #   cost 150 s per 64-row batch (142k evals/px) on-device vs 23 s
+    #   for the nlive=200 batch that recovers at least as well
+    #   (nlive=400-class mode retention).
+    # * decision-boundary pixels (|gain - 11| <= band nats): refined
+    #   rows supersede unconditionally -- the targeted form of the
+    #   reference's SNR-scaled nlive boost (main.py:444-447).
+    # Fixed batch width r_band = one compile class; floor rows get
+    # priority, then band rows nearest the threshold.
     band_nats = float(os.environ.get("BENCH_BOUNDARY_BAND", "6"))
+    # two width classes: the big one for the main refinement round and
+    # a small one so a handful of stubborn round-2 rows does not pay a
+    # 128-row batch (per-iteration compute scales with R)
     r_band = min(128, n_pix)
-    band_runners = {n: make_runner(n, np.arange(r_band)) for n in (1, 2)}
+    r_small = min(32, n_pix)
+    band_runners = {(n, w): make_runner(n, np.arange(w))
+                    for n in (1, 2) for w in {r_band, r_small}}
 
     def band_cfg(n):
         return dataclasses.replace(
             cfg, nlive=2 * cfg.nlive,
-            max_iter=cfg.resolved(band_runners[n].ndim).max_iter,
+            max_iter=cfg.resolved(band_runners[n, r_band].ndim).max_iter,
         )
-
-    def refine_boundary(k, n, r, lnz, floor):
-        """One higher-nlive re-fit of the decision-boundary pixels;
-        refined rows replace the originals whole-row (deterministic
-        supersede, no outcome selection).  Returns (fit, lnz,
-        extra_evals) with the superseded originals' likelihood calls
-        counted as waste."""
-        from nestfit_tpu.sampling.fit import merge_fit_rows
-
-        if band_nats <= 0:
-            return r, lnz, 0
-        gain = lnz - floor
-        band = np.flatnonzero(np.abs(gain - 11.0) <= band_nats)
-        if band.size == 0:
-            return r, lnz, 0
-        # cap at 2 chunks, most ambiguous first
-        band = band[np.argsort(np.abs(gain[band] - 11.0))][: 2 * r_band]
-        extra = int(np.asarray(r.ns.ncall, dtype=np.int64)[band].sum())
-        lnz = lnz.copy()
-        for lo in range(0, band.size, r_band):
-            sel = band[lo:lo + r_band]
-            pad = np.concatenate([
-                sel, np.full(r_band - sel.size, sel[0]),
-            ])
-            data_tree = tuple(
-                (jnp.asarray(d[pad], dtype=jnp.float32),
-                 jnp.full((r_band,), noise, dtype=jnp.float32))
-                for _x, d, _t in ((xa11, d11, 1), (xa22, d22, 2))
-            )
-            k, sub = random.split(k)
-            r2 = fit_batch(sub, band_runners[n], r_band, band_cfg(n),
-                           segment_iters=seg, data=data_tree,
-                           active=np.arange(r_band) < sel.size)
-            lnz_b = np.asarray(r2.lnz)[: sel.size]
-            r = merge_fit_rows(r, r2, sel, np.arange(sel.size),
-                               n_pix, r_band)
-            lnz[sel] = lnz_b
-        log(f"bench: boundary refine ncomp={n}: {band.size} runs "
-            f"within {band_nats:.0f} nats of the gate re-fit at "
-            f"nlive={2 * nlive}")
-        return r, lnz, extra
-
-    def retry_cfg(n, attempt):
-        """Attempt 0: fresh key only; attempt 1+: escalate to the
-        deep-decorrelation slice depth (fallback_repeats = 2*ndim, the
-        unbiased configuration per docs/limitations.md) -- mode loss
-        is correlated live-set drift, which deeper per-insert
-        decorrelation directly attacks.  Mirrors
-        CubeFitter._refit_mode_losses."""
-        if attempt == 0:
-            return cfg
-        return dataclasses.replace(
-            cfg, fallback_repeats=2 * retry_runners[n].ndim)
 
     mode_loss_remaining = {}
 
-    def retry_mode_losses(k, n, r, lnz, floor):
-        """Nested-model consistency retry (production-path behavior,
-        CubeFitter._refit_mode_losses): re-fit runs whose lnZ fell
-        more than ``mode_loss_margin`` nats below the previous rung
-        (a violation of the nested-model evidence floor => the run
-        lost the dominant mode), keep the consistent rerun; a second
-        attempt escalates (see retry_cfg).  Returns (fit, lnz,
-        extra_evals) with the discarded runs' likelihood calls counted
-        so evals/pixel stays honest."""
-        from nestfit_tpu.sampling.fit import merge_fit_rows
+    def second_pass(k, n, r, lnz, floor):
+        """Combined mode-loss + boundary refinement pass (see above).
+
+        Up to two rounds: round 0 takes floor violators plus the
+        boundary band; round 1 (rare) re-runs only still-violating
+        floor rows with a fresh key.  Returns (fit, lnz, extra_evals)
+        with every superseded/discarded record's likelihood calls
+        counted so evals/pixel stays honest."""
+        from nestfit_tpu.sampling.fit import align_fit_meta, merge_fit_rows
 
         extra = 0
+        n_bad0 = None
         for attempt in range(2):
             bad = np.flatnonzero(lnz < floor - mode_loss_margin)
-            if bad.size == 0:
+            if attempt == 0:
+                n_bad0 = bad.size
+                gain = lnz - floor
+                if band_nats > 0:
+                    band = np.flatnonzero(
+                        (np.abs(gain - 11.0) <= band_nats)
+                        & (lnz >= floor - mode_loss_margin)
+                    )
+                    band = band[np.argsort(np.abs(gain[band] - 11.0))]
+                else:
+                    band = np.empty(0, dtype=np.int64)
+                # floor rows first, then band rows nearest the gate
+                rows = np.concatenate([bad, band])[:r_band]
+                n_floor = bad.size
+            else:
+                rows = bad[:r_band]
+                n_floor = rows.size
+            if rows.size == 0:
                 break
-            bad = bad[:r_retry]
+            w = r_small if rows.size <= r_small else r_band
             pad = np.concatenate([
-                bad, np.full(r_retry - bad.size, bad[0]),
+                rows, np.full(w - rows.size, rows[0]),
             ])
-            dsets = ((xa11, d11, 1), (xa22, d22, 2))
             data_tree = tuple(
                 (jnp.asarray(d[pad], dtype=jnp.float32),
-                 jnp.full((r_retry,), noise, dtype=jnp.float32))
-                for _x, d, _t in dsets
+                 jnp.full((w,), noise, dtype=jnp.float32))
+                for _x, d, _t in ((xa11, d11, 1), (xa22, d22, 2))
             )
             k, sub = random.split(k)
-            r2 = fit_batch(sub, retry_runners[n], r_retry,
-                           retry_cfg(n, attempt),
+            r2 = fit_batch(sub, band_runners[n, w], w, band_cfg(n),
                            segment_iters=seg, data=data_tree,
-                           active=np.arange(r_retry) < bad.size)
-            lnz_r = np.asarray(r2.lnz)[: bad.size]
-            better = lnz_r > lnz[bad]
+                           active=np.arange(w) < rows.size)
+            lnz_r = np.asarray(r2.lnz)[: rows.size]
+            # one winner per destination (floor rows appear twice:
+            # keep the better refit); floor rows then keep-better vs
+            # the original (objective constraint violation), band rows
+            # supersede unconditionally (decided pre-outcome)
+            bad_set = set(bad.tolist())
+            best = {}
+            for j, dest in enumerate(rows.tolist()):
+                if dest not in best or lnz_r[j] > lnz_r[best[dest]]:
+                    best[dest] = j
+            dst, src = [], []
+            for dest, j in best.items():
+                if dest in bad_set and not lnz_r[j] > lnz[dest]:
+                    continue
+                dst.append(dest)
+                src.append(j)
+            dst = np.asarray(dst, dtype=np.int64)
+            src = np.asarray(src, dtype=np.int64)
             nc_old = np.asarray(r.ns.ncall, dtype=np.int64)
-            nc_new = np.asarray(r2.ns.ncall, dtype=np.int64)[: bad.size]
-            # discarded runs' evals: the replaced originals plus the
-            # unsuccessful retries (whichever record is dropped)
-            extra += int(nc_old[bad[better]].sum() + nc_new[~better].sum())
-            if better.any():
-                dst = bad[better]
-                src = np.flatnonzero(better)
-                r = merge_fit_rows(r, r2, dst, src, n_pix, r_retry)
+            nc_new = np.asarray(r2.ns.ncall, dtype=np.int64)[: rows.size]
+            taken_j = set(src.tolist())
+            extra += int(nc_old[dst].sum()) + int(sum(
+                nc_new[j] for j in range(rows.size) if j not in taken_j
+            ))
+            if dst.size:
+                r = merge_fit_rows(r, align_fit_meta(r2, r), dst, src,
+                                   n_pix, w)
                 lnz = lnz.copy()
-                lnz[dst] = lnz_r[better]
-            log(f"bench: mode-loss retry {attempt + 1} ncomp={n}: "
-                f"{bad.size} runs below the nested-model floor, "
-                f"{int(better.sum())} recovered"
-                + (" (escalated repeats)" if attempt else ""))
+                lnz[dst] = lnz_r[src]
+            log(f"bench: second pass {attempt + 1} ncomp={n}: "
+                f"{n_floor} floor + {rows.size - min(n_floor, rows.size)} "
+                f"boundary rows re-fit at nlive={2 * nlive} (R={w}); "
+                f"{dst.size} records replaced")
         still = int(np.sum(lnz < floor - mode_loss_margin))
         mode_loss_remaining[n] = max(mode_loss_remaining.get(n, 0), still)
+        if n_bad0:
+            log(f"bench: mode-loss ncomp={n}: {n_bad0} first-pass "
+                f"floor violations, {still} remain after refinement")
         return r, lnz, extra
 
     def ladder(key, tag="", reserve=None):
@@ -291,14 +278,12 @@ def main():
                         f"est {est:.0f}s + reserve {reserve:.0f}s)")
                     break
             t0 = time.perf_counter()
-            kf, kr, kb = random.split(k, 3)
+            kf, kr = random.split(k)
             r = fit_batch(kf, runners[n], n_pix, cfg, segment_iters=seg)
             jax.block_until_ready(r.lnz)
             lnz = np.asarray(r.lnz)
             floor = np.asarray(r.null_lnz) if n == 1 else prev_lnz
-            r, lnz, extra_evals[n] = retry_mode_losses(kr, n, r, lnz, floor)
-            r, lnz, extra_b = refine_boundary(kb, n, r, lnz, floor)
-            extra_evals[n] += extra_b
+            r, lnz, extra_evals[n] = second_pass(kr, n, r, lnz, floor)
             jax.block_until_ready(r.lnz)
             walls[n] = time.perf_counter() - t0
             prev_lnz = lnz
@@ -325,29 +310,26 @@ def main():
     # ahead of rung-2's main programs).  ThreadPoolExecutor assigns
     # workers in submission order, so: every full-batch program of both
     # rungs first (the 12 programs every bench run certainly
-    # dispatches), then the straggler-compaction classes, then the
-    # retry families (cheap -- their init/cand/fin/finalize HLO-dedup
-    # against each other, and slice@64 against the compaction class).
+    # dispatches), then the second-pass (nlive=2x refinement) family,
+    # then the straggler-compaction classes.
     plan = []
     for n in (1, 2):
         plan += aot.build_plan(runners[n], n_pix, cfg, r_classes=[])
     for n in (1, 2):
         # boundary-refinement programs fire on EVERY run (the band is
         # never empty on this cube), so they rank above the classes
-        plan += aot.build_plan(band_runners[n], r_band, band_cfg(n),
-                               r_classes=[], label=f"band{n}")
+        plan += aot.build_plan(band_runners[n, r_band], r_band,
+                               band_cfg(n), r_classes=[],
+                               label=f"band{n}")
+    for n in (1, 2):
+        # small class for stubborn round-2 rows
+        plan += aot.build_plan(band_runners[n, r_small], r_small,
+                               band_cfg(n), r_classes=[],
+                               label=f"band{n}s")
     for n in (1, 2):
         plan += aot.build_plan(
             runners[n], n_pix, cfg,
             kinds_full=(), label=f"n{n}c")  # compaction classes only
-    for n in (1, 2):
-        plan += aot.build_plan(retry_runners[n], r_retry, cfg,
-                               r_classes=[],
-                               label=f"retry{n}")
-        # escalated second-attempt retry programs (deep repeats)
-        plan += aot.build_plan(retry_runners[n], r_retry,
-                               retry_cfg(n, 1),
-                               r_classes=[], label=f"retry{n}e")
     # time-box the phase: a wedged backend compile RPC (observed once
     # on the axon tunnel -- zero-CPU futex wait, remote never replies)
     # must not eat the whole budget; abandoned programs compile lazily

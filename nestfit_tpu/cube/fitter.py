@@ -346,32 +346,35 @@ class CubeFitter:
         violation does not bias lnZ the way unconditional
         max-of-restarts would.
 
-        Retries after the first ESCALATE: a fresh key alone recovers
-        ~70% of mode losses (measured, bench cube), so the second and
-        later attempts run the deep-decorrelation configuration
-        ``fallback_repeats = 2 * ndim`` (the unbiased slice depth per
-        docs/limitations.md) -- mode loss is correlated live-set
-        drift, which deeper per-insert decorrelation directly
-        attacks.  The escalated config changes no array shape, so
-        whole-row merging stays valid.
+        Retries after the first ESCALATE to
+        ``boundary_nlive_mult * nlive`` (same death cap, so per-run
+        record rows merge; see ``align_fit_meta``): more live points
+        attack mode loss at its root -- the thinning basin keeps
+        members through the phase transition -- and the r5 on-device
+        measurement retired the old ``fallback_repeats = 2 * ndim``
+        escalation, which cost 150 s per 64-row batch (142k evals/px)
+        against 23 s for the nlive=2x batch with at least equal
+        recovery.
         """
         import dataclasses
 
-        from nestfit_tpu.sampling.fit import merge_fit_rows
+        from nestfit_tpu.sampling.fit import align_fit_meta, merge_fit_rows
 
         n = cur_ix.size
         for attempt in range(self.mode_loss_retries):
             bad = np.flatnonzero(lnz < prev - self.mode_loss_margin)
             if bad.size == 0:
                 break
+            ndim = self.utrans.n_param * ncomp
             cfg_a = cfg if attempt == 0 else dataclasses.replace(
-                cfg, fallback_repeats=2 * self.utrans.n_param * ncomp
+                cfg, nlive=self.boundary_nlive_mult * cfg.nlive,
+                max_iter=cfg.resolved(ndim).max_iter,
             )
             log.warning(
                 "mode-loss retry %d: %d/%d runs at ncomp=%d fell > "
                 "%.0f nats below the previous rung; re-fitting%s",
                 attempt + 1, bad.size, n, ncomp, self.mode_loss_margin,
-                " (escalated repeats)" if attempt else "",
+                " (escalated nlive)" if attempt else "",
             )
             r_r = self._pad_quantum(bad.size)
             pad_ix = np.concatenate([
@@ -394,7 +397,8 @@ class CubeFitter:
             if better.any():
                 dst = bad[better]
                 src = np.flatnonzero(better)
-                fit = merge_fit_rows(fit, fit_r, dst, src, r_pad, r_r)
+                fit = merge_fit_rows(fit, align_fit_meta(fit_r, fit),
+                                     dst, src, r_pad, r_r)
                 lnz = lnz.copy()
                 lnz[dst] = lnz_r[better]
         still = np.flatnonzero(lnz < prev - self.mode_loss_margin)
@@ -424,7 +428,7 @@ class CubeFitter:
         """
         import dataclasses
 
-        from nestfit_tpu.sampling.fit import merge_fit_rows
+        from nestfit_tpu.sampling.fit import align_fit_meta, merge_fit_rows
 
         if self.boundary_band <= 0 or self.boundary_nlive_mult <= 1:
             return fit, lnz
@@ -461,7 +465,7 @@ class CubeFitter:
             active=np.arange(r_b) < band.size,
         )
         lnz_b = np.asarray(fit_b.lnz)[: band.size]
-        fit = merge_fit_rows(fit, fit_b, band,
+        fit = merge_fit_rows(fit, align_fit_meta(fit_b, fit), band,
                              np.arange(band.size), r_pad, r_b)
         lnz = lnz.copy()
         lnz[band] = lnz_b

@@ -196,6 +196,40 @@ def fit_batch(
     )
 
 
+def align_fit_meta(fit_b: FitResult, like: FitResult) -> FitResult:
+    """Rewrite ``fit_b``'s NSResult pytree METADATA (nlive, ndim,
+    max_iter) to match ``like``'s so ``merge_fit_rows`` can tree_map
+    the two (register_dataclass meta fields are part of the treedef).
+
+    Used by the boundary refinement, where the refined batch ran at a
+    higher ``nlive``: live-point arrays whose length disagrees are
+    truncated to ``like``'s (their rows become an arbitrary subset --
+    harmless, the posterior products were already computed from the
+    full set inside ``fit_batch`` and the store persists only those
+    products plus scalar attrs).  ``n_samples`` of refined rows then
+    undercounts by the nlive difference; the scalar record attrs
+    (lnz, ncall, n_dead) are exact.
+    """
+    ns_b, ns_a = fit_b.ns, like.ns
+    if (ns_b.nlive, ns_b.ndim, ns_b.max_iter) == (
+            ns_a.nlive, ns_a.ndim, ns_a.max_iter):
+        return fit_b
+    L = ns_a.nlive
+    ns_new = dataclasses.replace(
+        ns_b,
+        live_u=ns_b.live_u[:, :L],
+        live_lnl=ns_b.live_lnl[:, :L],
+        live_lnw=ns_b.live_lnw[:, :L],
+        dead_u=ns_b.dead_u[:, : ns_a.max_iter],
+        dead_lnl=ns_b.dead_lnl[:, : ns_a.max_iter],
+        dead_lnw=ns_b.dead_lnw[:, : ns_a.max_iter],
+        nlive=ns_a.nlive,
+        ndim=ns_a.ndim,
+        max_iter=ns_a.max_iter,
+    )
+    return dataclasses.replace(fit_b, ns=ns_new)
+
+
 def merge_fit_rows(fit_a: FitResult, fit_b: FitResult, dst_rows,
                    src_rows, n_rows_a: int, n_rows_b: int) -> FitResult:
     """Replace run rows ``dst_rows`` of ``fit_a`` with rows

@@ -306,3 +306,45 @@ def test_aot_precompile_matches_jit():
     with pytest.warns(UserWarning, match="signature mismatch"):
         out = disp_bad(jnp.zeros((3, 3)))   # wrong arity/avals
     assert out == "fb" and disp_bad.failed and len(calls) == 1
+
+
+def test_align_fit_meta_cross_nlive_merge():
+    """Boundary refinement merges a higher-nlive batch's rows into the
+    base batch: align_fit_meta must reconcile the NSResult pytree
+    metadata so merge_fit_rows can tree_map the two, and the merged
+    rows must carry the refined scalars."""
+    import dataclasses as dc
+
+    from nestfit_tpu.sampling.fit import align_fit_meta, merge_fit_rows
+
+    utrans = get_gaussian_priors(vsys=0.0)
+    p1 = np.array([0.0, 0.5, 3.0])
+    spec, *_ = make_gauss_spec(p1, noise=0.3, seed=6)
+    R = 4
+
+    def batched(nlive):
+        spec_b = dc.replace(
+            spec,
+            data=jnp.broadcast_to(spec.data, (R,) + spec.data.shape),
+            noise=jnp.broadcast_to(spec.noise, (R,) + spec.noise.shape),
+        )
+        runner = GaussianRunner(spec_b, utrans, ncomp=1)
+        cfg = NSConfig(nlive=nlive, tol=1.0,
+                       max_iter=NSConfig(nlive=32).resolved(3).max_iter)
+        return fit_batch(random.key(3), runner, R, cfg, n_post=64)
+
+    fit_a = batched(32)
+    fit_b = batched(64)
+    merged = merge_fit_rows(
+        fit_a, align_fit_meta(fit_b, fit_a), np.array([1, 2]),
+        np.array([0, 1]), R, R,
+    )
+    lnz_a, lnz_b = np.asarray(fit_a.lnz), np.asarray(fit_b.lnz)
+    lnz_m = np.asarray(merged.lnz)
+    assert lnz_m[0] == lnz_a[0] and lnz_m[3] == lnz_a[3]
+    assert lnz_m[1] == lnz_b[0] and lnz_m[2] == lnz_b[1]
+    # refined rows' products replaced too
+    bf_m = np.asarray(merged.products.bestfit_params)
+    assert np.allclose(bf_m[1], np.asarray(fit_b.products.bestfit_params)[0])
+    # metadata stays the base batch's
+    assert merged.ns.nlive == fit_a.ns.nlive
