@@ -670,9 +670,43 @@ def runner_predict_full(runner, params, ncomp):
     return [np.asarray(p) for p in preds]
 
 
-def corner_plot(samples, labels=None, bins=40, figsize=None):
-    """Simple corner plot: 1-D histograms on the diagonal, 2-D density
-    below (replacement for getdist, reference plotting.py:891-958)."""
+def _kde_density_2d(x, y, bins=64, smooth=1.5):
+    """Gaussian-KDE-smoothed 2-D density on a regular grid.
+
+    Histogram the samples, then convolve with a Gaussian whose width is
+    ``smooth`` grid cells scaled by Silverman's n^(-1/6) factor -- the
+    getdist-style smoothing the reference's corner plots get from the
+    getdist package (reference plotting.py:891-958), without the
+    dependency.  Returns (xc, yc, density, levels) where ``levels``
+    are the highest-density contour thresholds enclosing 39.3% / 86.5%
+    of the posterior mass (the 2-D 1- and 2-sigma equivalents getdist
+    draws).
+    """
+    from scipy.ndimage import gaussian_filter
+
+    h, xe, ye = np.histogram2d(x, y, bins=bins)
+    n = max(x.size, 2)
+    sig = smooth * (n / 100.0) ** (-1.0 / 6.0)
+    h = gaussian_filter(h, sigma=max(sig, 0.6), mode="constant")
+    # highest-density levels by mass fraction
+    flat = np.sort(h.ravel())[::-1]
+    csum = np.cumsum(flat)
+    csum /= max(csum[-1], 1e-30)
+    levels = []
+    for frac in (0.865, 0.393):     # 2-sigma first (lower threshold)
+        k = int(np.searchsorted(csum, frac))
+        levels.append(flat[min(k, flat.size - 1)])
+    xc = 0.5 * (xe[:-1] + xe[1:])
+    yc = 0.5 * (ye[:-1] + ye[1:])
+    return xc, yc, h.T, sorted(set(levels))
+
+
+def corner_plot(samples, labels=None, bins=40, figsize=None,
+                contours=True, smooth=1.5):
+    """Corner plot: KDE-smoothed 1-D marginals on the diagonal,
+    smoothed 2-D density with 1/2-sigma highest-density contours below
+    (getdist-grade replacement, reference plotting.py:891-958;
+    ``contours=False`` reverts to the plain 2-D histogram)."""
     samples = np.asarray(samples)
     ndim = samples.shape[1]
     figsize = figsize or (1.6 * ndim, 1.6 * ndim)
@@ -684,8 +718,32 @@ def corner_plot(samples, labels=None, bins=40, figsize=None):
                 ax.set_visible(False)
                 continue
             if i == j:
-                ax.hist(samples[:, i], bins=bins, color="0.3",
-                        histtype="step", density=True)
+                if contours:
+                    from scipy.ndimage import gaussian_filter1d
+
+                    h, edges = np.histogram(samples[:, i], bins=2 * bins,
+                                            density=True)
+                    h = gaussian_filter1d(h, sigma=max(
+                        smooth * (samples.shape[0] / 100.0) ** (-1 / 5.0),
+                        0.6,
+                    ), mode="constant")
+                    ax.plot(0.5 * (edges[:-1] + edges[1:]), h,
+                            color="0.25", lw=1.0)
+                    ax.fill_between(0.5 * (edges[:-1] + edges[1:]), h,
+                                    color="0.8", alpha=0.6)
+                else:
+                    ax.hist(samples[:, i], bins=bins, color="0.3",
+                            histtype="step", density=True)
+            elif contours:
+                xc, yc, dens, levels = _kde_density_2d(
+                    samples[:, j], samples[:, i], bins=max(bins, 48),
+                    smooth=smooth,
+                )
+                ax.contourf(xc, yc, dens,
+                            levels=list(levels) + [dens.max() + 1e-30],
+                            colors=["#b3cde3", "#6497bf"], alpha=0.85)
+                ax.contour(xc, yc, dens, levels=levels,
+                           colors="#30557f", linewidths=0.7)
             else:
                 ax.hist2d(samples[:, j], samples[:, i], bins=bins,
                           cmap="Blues", norm=mcolors.PowerNorm(0.5))
