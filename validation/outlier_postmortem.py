@@ -102,8 +102,8 @@ def main():
                           float(np.median([r[i]["lnz2"] for r in t100]))]
             tpu_nbest = 0 if tpu_med100[0] - null < LNZ_THRESH else (
                 1 if tpu_med100[1] - tpu_med100[0] < LNZ_THRESH else 2)
-            t4 = float(t400[0][i][f"lnz{n}"]) if t400 and i in t400[0] \
-                else None
+            t4v = [float(r[i][f"lnz{n}"]) for r in t400 if i in r]
+            t4 = float(np.median(t4v)) if t4v else None
             row = {
                 "pixel": int(i), "rung": n, "dz_sigma": dz,
                 "tpu_med": tpu_med, "tpu_scat": tpu_scat,

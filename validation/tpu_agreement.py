@@ -92,7 +92,10 @@ def main():
     }
 
     def run_config(nlive, seed):
-        cfg = NSConfig(nlive=nlive, tol=1.0)
+        # production sampler defaults (CubeFitter.ns_default_kwargs):
+        # the artifact certifies the SHIPPED configuration, oversampled
+        # init included
+        cfg = NSConfig(nlive=nlive, tol=1.0, init_factor=4)
         tag = f"nlive{nlive}/seed{seed}"
         rec = {}
         active = np.arange(pad.size) < len(pix)
