@@ -338,3 +338,48 @@ def test_fit_cube_ladder_smoke(synth_stack, tmp_path):
             assert "nbest" in grp.attrs
     finally:
         store.close()
+
+
+def test_fit_cube_boundary_refinement(synth_stack, tmp_path):
+    """Force every rung-1 survivor through the boundary-refinement
+    path (boundary_band = inf) and through a cross-nlive merge: the
+    store must come out complete with finite evidences and the same
+    nbest decisions as an unrefined run of the same seed."""
+    stack, params = synth_stack
+    utrans = get_irdc_priors(vsys=0.0)
+
+    def run(band):
+        fitter = CubeFitter(
+            stack, utrans, AmmoniaRunner, ncomp_max=1,
+            ns_kwargs={"nlive": 40, "tol": 1.0},
+            batch_size=8, n_post=64, nlive_buckets=1,
+            nlive_snr_fact=0,
+            boundary_band=band, boundary_nlive_mult=2,
+        )
+        name = str(tmp_path / f"band_{band}")
+        fitter.fit_cube(store_name=name, seed=3)
+        out = {}
+        with HdfStore(name) as store:
+            for group in store.iter_pix_groups():
+                g1 = group["1"]
+                key = (int(group.attrs["i_lon"]),
+                       int(group.attrs["i_lat"]))
+                out[key] = (
+                    group.attrs["nbest"],
+                    float(g1.attrs["global_lnZ"]),
+                    int(g1.attrs["n_calls"]),
+                )
+        return out
+
+    plain = run(0.0)
+    refined = run(1e9)
+    assert set(plain) == set(refined)
+    for k in plain:
+        nb_p, lnz_p, _ = plain[k]
+        nb_r, lnz_r, nc_r = refined[k]
+        assert np.isfinite(lnz_r)
+        assert nc_r > 0
+        # the nlive=80 refit must not move the strong-detection
+        # decisions (weak pixels may legitimately cross the gate)
+        if abs(lnz_p) > 50:
+            assert nb_p == nb_r, (k, plain[k], refined[k])
