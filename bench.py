@@ -49,6 +49,11 @@ import numpy as np
 
 CPU_FITS_PER_SEC_FALLBACK = 0.5
 T_START = time.perf_counter()
+if "--fast" in sys.argv:
+    # CI-style sanity tier (VERDICT r4 item 8): 128-px ladder through
+    # the identical code paths at ~1/8 the work.  Env vars override.
+    os.environ.setdefault("BENCH_PIXELS", "128")
+    os.environ.setdefault("BENCH_BUDGET_S", "900")
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
 
 #: progressively-updated result record: every completed phase folds its
