@@ -276,7 +276,10 @@ def main():
         mode_loss_remaining.clear()
         for n, k in ((1, k1), (2, k2)):
             if reserve is not None:
-                est = 2.5 * max(walls.values()) if walls else 75.0
+                # rung-2 costs ~7-8x rung-1 now (rung 1 runs the wide
+                # kill_k=nlive/2 batch; rung 2 carries the second-pass
+                # refinement batches), so estimate accordingly
+                est = 8.0 * max(walls.values()) if walls else 75.0
                 if remaining() - reserve < est:
                     log(f"bench: {tag} aborted before ncomp={n} "
                         f"(budget {remaining():.0f}s left, "
