@@ -235,16 +235,16 @@ class NSConfig:
     #                               (_slim_bounds) refreshes in the
     #                               kill+slice regime.  1 = refresh
     #                               every iteration (the measured-safe
-    #                               default at kill_k=nlive/4, where
-    #                               the live set turns over 25% per
-    #                               iteration).  The kill+slice regime
-    #                               is ITERATION-bound at R=1024 (r4
-    #                               measurement: evals/px -29%, wall
-    #                               +3%), so amortizing the refresh
-    #                               buys wall directly -- but staleness
-    #                               degrades chain mixing (the comment
-    #                               at the refresh site), so any
-    #                               cadence > 1 must re-verify the
+    #                               default).  Measured r5 at R=1024:
+    #                               cadence 2 moved the ladder wall by
+    #                               0.0 s -- the per-iteration cost is
+    #                               likelihood launches, not the
+    #                               Cholesky -- so the default stays 1;
+    #                               the knob exists for regimes where
+    #                               the balance differs (tiny R, huge
+    #                               D).  Staleness degrades chain
+    #                               mixing (see the refresh site), so
+    #                               any cadence > 1 must re-verify the
     #                               D=12 lnZ bias pins
     stall_limit: int = 64         # consecutive zero-fill iterations
     #                               after which a run is abandoned
@@ -289,11 +289,14 @@ class NSConfig:
     #                               one rejected.  Width 3 cuts the
     #                               hottest loop's launch count by a
     #                               third vs pairs (2 rounds instead
-    #                               of 3 at max_contract=6) at
-    #                               slightly more padding compute --
-    #                               the right trade when per-launch
-    #                               overhead owns the wall (R=1024
-    #                               lockstep through a remote worker).
+    #                               of 3 at max_contract=6) at more
+    #                               padding compute; measured r5 on an
+    #                               idle (compute-bound) worker the
+    #                               trade is a wash, so the default
+    #                               stays 2 -- width 3 is for setups
+    #                               where per-launch overhead owns the
+    #                               wall (tiny R, high-latency
+    #                               dispatch).
     cov_reg: float = 1e-10        # covariance diagonal regularizer
     ell_fudge: float = 1.05       # ellipsoid enlargement over max
     #                               Mahalanobis radius.  The radius
